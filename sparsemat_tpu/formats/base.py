@@ -1,0 +1,271 @@
+"""Shared machinery for frozen sparse formats.
+
+The reference's central abstraction is the ``SparseMatrix`` trait
+(reference: src/sparsematrix.rs:62-339): associated Value/Index types, a row
+iterator, and shared default algorithms.  The TPU-native redesign splits that
+into (a) *frozen, immutable, pytree-registered* format classes here — safe to
+pass through jit/pjit/shard_map — and (b) functional ops in
+``sparsemat_tpu.ops`` written once against the COO/CSR canonical views, which
+every format can produce (≈ the trait-default algorithms written once against
+``iter_row``).
+
+Padding convention (replaces linked-list UNSET chains, src/indexlist.rs:33):
+structure arrays may carry *tail padding* so that array sizes stay static
+under XLA.  A padded entry has ``row == n_rows`` (one past the last row —
+dropped by XLA scatter semantics), ``col == 0`` (clamp-safe gather) and
+``val == 0`` (harmless in accumulation).  Host-side ``prune()`` compacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import accum_dtype, compute_index_dtype
+
+Shape = Tuple[int, int]
+
+
+def register_format(cls):
+    """Register a format dataclass as a JAX pytree (arrays = children,
+    ``shape`` & friends = static aux data)."""
+    data_fields = [f.name for f in dataclasses.fields(cls) if f.metadata.get("pytree_node", True)]
+    meta_fields = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("pytree_node", True)]
+    jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta_fields)
+    return cls
+
+
+def array_field():
+    return dataclasses.field(metadata={"pytree_node": True})
+
+
+def static_field():
+    return dataclasses.field(metadata={"pytree_node": False})
+
+
+class SparseFormat:
+    """Mixin providing the operator surface the reference stamps out with its
+    ``sparsemat_ops!`` macro (src/sparsematrix.rs:370-445): + - * scalar, and
+    ``A @ x`` = SpMV / ``A @ B`` = SpMM."""
+
+    shape: Shape
+
+    # -- canonical views (each concrete class overrides what it can) --------
+    def to_coo(self):
+        raise NotImplementedError
+
+    def to_csr(self):
+        raise NotImplementedError
+
+    def to_ell(self, n_cols_per_row: int | None = None):
+        return self.to_csr().to_ell(n_cols_per_row=n_cols_per_row)
+
+    def to_sell(self, slice_height: int = 8):
+        from .sell import SELL
+
+        return SELL.from_csr(self.to_csr(), slice_height=slice_height)
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype  # type: ignore[attr-defined]
+
+    @property
+    def index_dtype(self):
+        raise NotImplementedError
+
+    # -- algebra (dispatches into ops; imported lazily to avoid cycles) -----
+    def __matmul__(self, other):
+        from .. import ops
+
+        if isinstance(other, SparseFormat):
+            return ops.spgemm(self, other)
+        other = jnp.asarray(other)
+        if other.ndim == 1:
+            return ops.spmv(self, other)
+        elif other.ndim == 2:
+            return ops.spmm(self, other)
+        raise ValueError(f"cannot multiply sparse matrix by array of rank {other.ndim}")
+
+    def mvp(self, x):
+        """SpMV — name kept from the reference (src/sparsematrix.rs:146)."""
+        from .. import ops
+
+        return ops.spmv(self, jnp.asarray(x))
+
+    def __add__(self, other):
+        from .. import ops
+
+        return ops.add(self, other)
+
+    def __sub__(self, other):
+        from .. import ops
+
+        return ops.sub(self, other)
+
+    def __mul__(self, scalar):
+        return self.scale(scalar)
+
+    def __rmul__(self, scalar):
+        return self.scale(scalar)
+
+    def scale(self, scalar):
+        """Scale all stored values (≈ SparseMatrix::scale, src/sparsematrix.rs:117)."""
+        raise NotImplementedError
+
+    @property
+    def T(self):
+        from .. import ops
+
+        return ops.transpose(self)
+
+    def transpose(self):
+        from .. import ops
+
+        return ops.transpose(self)
+
+    def inner_prod(self, l, r):
+        """Bilinear form lᵀ A r (≈ src/sparsematrix.rs:161-171)."""
+        from .. import ops
+
+        return ops.inner_prod(self, l, r)
+
+    # -- structure queries --------------------------------------------------
+    @property
+    def nse(self) -> int:
+        """Static number of stored entry *slots* (incl. tail padding)."""
+        raise NotImplementedError
+
+    def n_non_zero_entries(self):
+        """Number of stored (non-padding) entries — may be a traced scalar if
+        the matrix carries padding (≈ src/sparsematrix.rs:103)."""
+        raise NotImplementedError
+
+    def density(self):
+        """Stored entries / (n_rows * n_cols) (≈ src/sparsematrix.rs:237-241)."""
+        n = self.n_non_zero_entries()
+        return n / float(self.n_rows * self.n_cols)
+
+    def sparsity(self):
+        """1 - density (≈ src/sparsematrix.rs:244-246)."""
+        return 1.0 - self.density()
+
+    def todense(self) -> jax.Array:
+        coo = self.to_coo()
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        valid = coo.rows.astype(jnp.int32) < self.shape[0]
+        r = jnp.where(valid, coo.rows.astype(jnp.int32), self.shape[0])
+        v = jnp.where(valid, coo.vals, 0)
+        return out.at[r, coo.cols.astype(jnp.int32)].add(v, mode="drop")
+
+    def get(self, i: int, j: int):
+        """Point lookup A[i, j], 0 if absent (≈ SparseMatrix::get,
+        src/sparsematrix.rs:106-110).  Host-side convenience — O(nse)."""
+        coo = self.to_coo()
+        r = np.asarray(coo.rows)
+        c = np.asarray(coo.cols)
+        v = np.asarray(coo.vals)
+        hit = (r == i) & (c == j)
+        return v[hit].sum() if hit.any() else v.dtype.type(0)
+
+    def __getitem__(self, ij):
+        i, j = ij
+        return self.get(i, j)
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(shape={self.shape}, nse={self.nse}, "
+            f"dtype={np.dtype(self.dtype)})"
+        )
+
+
+# --- canonicalization helpers (jittable) ------------------------------------
+
+
+def sort_coo(rows, cols, vals, shape: Shape):
+    """Sort COO triplets into canonical row-major, column-sorted order.
+
+    Replaces the reference's per-row ``Sortable::sort_row`` chain rewrites
+    (src/sparsemat_indexlist.rs:102-109) with one device-wide key sort.
+    Padding entries (row == n_rows) sort to the tail automatically.
+    """
+    cdt = compute_index_dtype(rows.dtype)
+    n_rows, n_cols = shape
+    key_dtype = jnp.int64 if (int(n_rows) + 1) * max(int(n_cols), 1) >= np.iinfo(np.int32).max else cdt
+    key = rows.astype(key_dtype) * jnp.asarray(n_cols, key_dtype) + cols.astype(key_dtype)
+    order = jnp.argsort(key)
+    return rows[order], cols[order], vals[order], order
+
+
+def dedup_sorted_coo(rows, cols, vals, shape: Shape):
+    """Sum duplicate coordinates in a *sorted* COO stream, keeping array sizes
+    static: survivors are compacted to the front, vacated slots become tail
+    padding (row = n_rows, col = 0, val = 0).
+
+    This is the batch equivalent of the reference's insert-time dedup
+    (``get_mut`` find-or-insert, src/sparsemat_indexlist.rs:158-164).
+    Returns (rows, cols, vals, n_unique) with n_unique a traced scalar.
+    """
+    n_rows, n_cols = shape
+    nse = rows.shape[0]
+    if nse == 0:
+        return rows, cols, vals, jnp.zeros((), jnp.int32)
+    cdt = compute_index_dtype(rows.dtype)
+    r = rows.astype(cdt)
+    c = cols.astype(cdt)
+    is_pad = r >= n_rows
+    same = (r == jnp.roll(r, 1)) & (c == jnp.roll(c, 1))
+    same = same.at[0].set(False)
+    # group id per unique coordinate (padding collapses into one trailing group)
+    new_group = ~same
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+    summed = jax.ops.segment_sum(
+        vals.astype(accum_dtype(vals.dtype)), gid, num_segments=nse
+    ).astype(vals.dtype)
+    # first slot of each group supplies the coordinates
+    first_idx = jnp.where(new_group, jnp.arange(nse), nse - 1)
+    first_of_group = jax.ops.segment_min(first_idx, gid, num_segments=nse)
+    n_groups = gid[-1] + 1
+    slot = jnp.arange(nse)
+    valid_group = slot < n_groups
+    gr = jnp.where(valid_group, r[jnp.clip(first_of_group, 0, nse - 1)], n_rows)
+    gc = jnp.where(valid_group, c[jnp.clip(first_of_group, 0, nse - 1)], 0)
+    gpad = gr >= n_rows
+    out_rows = jnp.where(gpad, n_rows, gr).astype(rows.dtype)
+    out_cols = jnp.where(gpad, 0, gc).astype(cols.dtype)
+    out_vals = jnp.where(gpad, 0, summed)
+    n_unique = jnp.sum((~gpad) & valid_group).astype(jnp.int32)
+    return out_rows, out_cols, out_vals, n_unique
+
+
+def rows_to_indptr(rows, n_rows: int, index_dtype=None):
+    """Row ids (sorted) → CSR indptr via bincount+cumsum (the TPU-native
+    replacement for the reference's offset bookkeeping,
+    src/sparsemat_crs.rs:24-50)."""
+    cdt = compute_index_dtype(rows.dtype)
+    counts = jnp.bincount(
+        jnp.clip(rows.astype(cdt), 0, n_rows), length=n_rows + 1
+    )[:n_rows]  # padding rows (== n_rows) fall in the dropped tail bucket
+    indptr = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])
+    return indptr.astype(index_dtype if index_dtype is not None else cdt)
+
+
+def indptr_to_rows(indptr, nse: int, index_dtype=None):
+    """CSR indptr → per-entry row ids (searchsorted; padding tail → n_rows)."""
+    n_rows = indptr.shape[0] - 1
+    idt = index_dtype if index_dtype is not None else indptr.dtype
+    pos = jnp.arange(nse)
+    row_ids = jnp.searchsorted(indptr[1:], pos, side="right")
+    row_ids = jnp.where(pos < indptr[-1], row_ids, n_rows)
+    return row_ids.astype(idt)

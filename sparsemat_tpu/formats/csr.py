@@ -1,0 +1,173 @@
+"""CSR — the canonical frozen compute format.
+
+TPU-native successor of the reference's ``SparseMatCRS``
+(reference: src/sparsemat_crs.rs:9-17 — values/columns/offset_rows arrays).
+Differences by design:
+
+* rows are always column-sorted (the reference leaves CRS in chain order
+  unless ``sort`` was called on the source first, src/sparsemat_crs.rs:24-50);
+  sorted order is declared canonical so results are deterministic.
+* no incremental ``push`` (the reference's is documented O(n) and "very
+  inefficient", src/sparsemat_crs.rs:69-92) — mutation belongs to the
+  builder; CSR is immutable.
+* ``row_ids`` (the expanded per-entry row index) is precomputed at freeze
+  time because the gather/segment-sum SpMV path consumes it every call —
+  the moral equivalent of the reference caching column info after
+  ``assemble_column_info`` (src/sparsemat_crs.rs:180-191).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import DEFAULT_INDEX_DTYPE
+from .base import (
+    SparseFormat,
+    array_field,
+    indptr_to_rows,
+    register_format,
+    static_field,
+)
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class CSR(SparseFormat):
+    """Frozen compressed-sparse-row matrix.
+
+    ``indptr``: (n_rows+1,) row offsets over the *valid* entries;
+    ``indices``: (nse,) column ids (tail padding = 0);
+    ``data``: (nse,) values (tail padding = 0);
+    ``row_ids``: (nse,) expanded row per entry (tail padding = n_rows).
+    Slots in ``[indptr[-1], nse)`` are padding.
+    """
+
+    indptr: jax.Array = array_field()
+    indices: jax.Array = array_field()
+    data: jax.Array = array_field()
+    row_ids: jax.Array = array_field()
+    shape: Tuple[int, int] = static_field()
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_coo(cls, coo) -> "CSR":
+        coo = coo.sort()
+        indptr = coo.indptr()
+        return cls(indptr=indptr, indices=coo.cols, data=coo.vals,
+                   row_ids=coo.rows, shape=coo.shape)
+
+    @classmethod
+    def from_arrays(cls, indptr, indices, data, shape) -> "CSR":
+        indptr = jnp.asarray(indptr)
+        indices = jnp.asarray(indices)
+        data = jnp.asarray(data)
+        row_ids = indptr_to_rows(indptr, indices.shape[0])
+        return cls(indptr=indptr, indices=indices, data=data,
+                   row_ids=row_ids, shape=tuple(shape))
+
+    @classmethod
+    def from_dense(cls, mat, *, index_dtype=DEFAULT_INDEX_DTYPE) -> "CSR":
+        from .coo import COO
+
+        return cls.from_coo(COO.from_dense(mat, index_dtype=index_dtype))
+
+    @classmethod
+    def from_scipy(cls, sp_mat, *, index_dtype=DEFAULT_INDEX_DTYPE) -> "CSR":
+        sp_mat = sp_mat.tocsr()
+        sp_mat.sort_indices()
+        return cls.from_arrays(
+            jnp.asarray(sp_mat.indptr, index_dtype),
+            jnp.asarray(sp_mat.indices, index_dtype),
+            jnp.asarray(sp_mat.data),
+            sp_mat.shape)
+
+    @classmethod
+    def eye(cls, dim: int, *, dtype=jnp.float32, index_dtype=DEFAULT_INDEX_DTYPE) -> "CSR":
+        """Identity (≈ SparseMatrix::eye, src/sparsematrix.rs:92-98)."""
+        idx = jnp.arange(dim, dtype=index_dtype)
+        return cls(indptr=jnp.arange(dim + 1, dtype=index_dtype), indices=idx,
+                   data=jnp.ones((dim,), dtype), row_ids=idx, shape=(dim, dim))
+
+    # -- canonical views ----------------------------------------------------
+    def to_csr(self) -> "CSR":
+        return self
+
+    def to_coo(self):
+        from .coo import COO
+
+        return COO(rows=self.row_ids, cols=self.indices, vals=self.data,
+                   shape=self.shape, canonical=True)
+
+    def to_ell(self, n_cols_per_row: int | None = None):
+        from .ell import ELL
+
+        return ELL.from_csr(self, n_cols_per_row=n_cols_per_row)
+
+    def to_sell(self, slice_height: int = 8):
+        from .sell import SELL
+
+        return SELL.from_csr(self, slice_height=slice_height)
+
+    # -- structure ----------------------------------------------------------
+    @property
+    def nse(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def index_dtype(self):
+        return self.indices.dtype
+
+    def n_non_zero_entries(self):
+        return self.indptr[-1].astype(jnp.int32)
+
+    def row_nnz(self):
+        """Per-row entry counts."""
+        return self.indptr[1:] - self.indptr[:-1]
+
+    def max_row_nnz(self) -> int:
+        """Host-side max nnz/row (static; used by ELL conversion & dispatch)."""
+        return int(np.asarray(self.row_nnz()).max(initial=0))
+
+    def scale(self, scalar) -> "CSR":
+        return dataclasses.replace(self, data=self.data * jnp.asarray(scalar, self.data.dtype))
+
+    def diagonal(self) -> jax.Array:
+        """Extract the main diagonal (dense) — basis of Jacobi-type solvers."""
+        on_diag = (self.row_ids == self.indices.astype(self.row_ids.dtype)) & (
+            self.row_ids.astype(jnp.int32) < self.n_rows)
+        d = jnp.zeros((self.n_rows,), self.data.dtype)
+        return d.at[jnp.where(on_diag, self.row_ids, self.n_rows)].add(
+            jnp.where(on_diag, self.data, 0), mode="drop")
+
+    def prune(self, keep_zeros: bool = True) -> "CSR":
+        """Host-side compaction (drop tail padding / stored zeros)."""
+        return self.to_coo().prune(keep_zeros=keep_zeros).to_csr()
+
+    # -- row access (API parity with iter_row/get_row semantics) ------------
+    def get_row_dense(self, i) -> jax.Array:
+        """Row i as a dense vector (≈ to_string_row's dense rendering,
+        src/sparsematrix.rs:284-301)."""
+        start = self.indptr[i]
+        nnz = self.indptr[i + 1] - start
+        k = jnp.arange(self.nse)
+        in_row = (k >= start) & (k < start + nnz)
+        out = jnp.zeros((self.n_cols,), self.data.dtype)
+        return out.at[jnp.where(in_row, self.indices, self.n_cols)].add(
+            jnp.where(in_row, self.data, 0), mode="drop")
+
+    def get_row(self, i):
+        """Row i as a SparseVec (≈ SparseMatrix::get_row,
+        src/sparsematrix.rs:272-280).  Host-side."""
+        from ..vectors import SparseVec
+
+        start = int(self.indptr[i])
+        end = int(self.indptr[i + 1])
+        return SparseVec(
+            indices=np.asarray(self.indices[start:end]),
+            vals=np.asarray(self.data[start:end]),
+            dim=self.n_cols)

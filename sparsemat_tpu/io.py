@@ -1,0 +1,148 @@
+"""I/O and rendering.
+
+Reference counterparts: ``to_string``/``to_string_row`` dense text rendering
+(reference: src/sparsematrix.rs:284-311) and ``to_pbm`` P1 bitmap structure
+dump (src/sparsematrix.rs:314-338).  The reference has **no** matrix file
+reader (SURVEY.md §5 checkpoint/resume: none); MatrixMarket support here is a
+new capability required by the benchmark configs (BASELINE.md — SuiteSparse
+pwtk/cant/scircuit).  A C++ fast path for .mtx parsing lives in
+sparsemat_tpu/native (falls back to the numpy reader transparently).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .formats.csr import CSR
+
+
+def _fmt(v) -> str:
+    """Render a value the way Rust's Display does: shortest round-trip
+    representation, no trailing zeros (so f32 2.24 renders as "2.24")."""
+    arr = np.asarray(v)
+    if arr.dtype == np.float32:
+        s = np.format_float_positional(np.float32(arr), unique=True, trim="-")
+    else:
+        s = np.format_float_positional(float(arr), unique=True, trim="-")
+    return s[:-1] if s.endswith(".") else s
+
+
+def to_string_row(mat, i: int) -> str:
+    """Row i rendered densely with explicit zeros, space-separated with a
+    trailing space (≈ to_string_row, src/sparsematrix.rs:284-301 — golden
+    value \"0 2.24 4.12 \" at src/lib.rs:96)."""
+    dense_row = np.asarray(mat.to_csr().get_row_dense(i))
+    return "".join(_fmt(v) + " " for v in dense_row)
+
+
+def to_string(mat) -> str:
+    """Whole matrix rendering, one row per line (≈ src/sparsematrix.rs:303-311)."""
+    return "\n".join(to_string_row(mat, i) for i in range(mat.shape[0])) + "\n"
+
+
+def to_pbm(mat, path: str) -> None:
+    """P1 PBM structure bitmap (≈ to_pbm, src/sparsematrix.rs:314-338).
+
+    Matches the reference's quirks deliberately: '1' marks an *empty* cell,
+    '0' a stored entry, and each line is truncated after the last stored
+    entry of that row.
+    """
+    csr = mat.to_csr()
+    n_rows, n_cols = csr.shape
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    lines = [f"P1\n{n_cols} {n_rows}"]
+    for i in range(n_rows):
+        cols = np.sort(indices[indptr[i]:indptr[i + 1]])
+        row = []
+        last = -1
+        for c in cols:
+            row.extend(["1"] * (int(c) - last - 1))
+            row.append("0")
+            last = int(c)
+        lines.append(" ".join(row))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+# --- MatrixMarket ------------------------------------------------------------
+
+def load_mtx(path: str, *, dtype=np.float32, index_dtype=np.int32) -> CSR:
+    """Load a MatrixMarket coordinate/array file into CSR.
+
+    Supports real/integer/pattern fields and general/symmetric/skew-symmetric
+    symmetries.  Uses the native C++ parser when available.
+    """
+    try:
+        from .native import mmio_available, parse_mtx_native
+
+        if mmio_available():
+            rows, cols, vals, shape = parse_mtx_native(path, dtype)
+            return _coo_to_csr(rows, cols, vals, shape, dtype, index_dtype)
+    except ImportError:
+        pass
+    return _load_mtx_numpy(path, dtype=dtype, index_dtype=index_dtype)
+
+
+def _coo_to_csr(rows, cols, vals, shape, dtype, index_dtype) -> CSR:
+    import jax.numpy as jnp
+
+    from .formats.coo import COO
+
+    coo = COO.from_arrays(
+        jnp.asarray(rows.astype(index_dtype)), jnp.asarray(cols.astype(index_dtype)),
+        jnp.asarray(vals.astype(dtype)), shape)
+    return coo.to_csr()
+
+
+def _load_mtx_numpy(path: str, *, dtype=np.float32, index_dtype=np.int32) -> CSR:
+    with open(path, "rb") as f:
+        header = f.readline().decode().strip().lower().split()
+        if len(header) < 5 or header[0] != "%%matrixmarket" or header[1] != "matrix":
+            raise ValueError(f"{path}: not a MatrixMarket matrix file")
+        layout, field, symmetry = header[2], header[3], header[4]
+        line = f.readline().decode()
+        while line.startswith("%"):
+            line = f.readline().decode()
+        sizes = line.split()
+        if layout == "coordinate":
+            n_rows, n_cols, nnz = int(sizes[0]), int(sizes[1]), int(sizes[2])
+            if field == "pattern":
+                data = np.loadtxt(f, dtype=np.int64, ndmin=2, max_rows=nnz)
+                r, c = data[:, 0] - 1, data[:, 1] - 1
+                v = np.ones(r.shape[0], dtype)
+            else:
+                data = np.loadtxt(f, dtype=np.float64, ndmin=2, max_rows=nnz)
+                r = data[:, 0].astype(np.int64) - 1
+                c = data[:, 1].astype(np.int64) - 1
+                v = data[:, 2].astype(dtype)
+            if symmetry in ("symmetric", "skew-symmetric"):
+                off = r != c
+                sign = -1 if symmetry == "skew-symmetric" else 1
+                r = np.concatenate([r, c[off]])
+                c2 = np.concatenate([c, data[:, 0].astype(np.int64)[off] - 1])
+                v = np.concatenate([v, sign * v[off]])
+                c = c2
+        elif layout == "array":
+            n_rows, n_cols = int(sizes[0]), int(sizes[1])
+            dense = np.loadtxt(f, dtype=np.float64).reshape(n_cols, n_rows).T
+            if symmetry == "symmetric":
+                dense = dense + np.tril(dense, -1).T
+            r, c = np.nonzero(dense)
+            v = dense[r, c].astype(dtype)
+        else:
+            raise ValueError(f"{path}: unsupported layout {layout!r}")
+    return _coo_to_csr(r, c, v, (n_rows, n_cols), dtype, index_dtype)
+
+
+def save_mtx(mat, path: str) -> None:
+    """Write a sparse matrix as MatrixMarket coordinate/real/general."""
+    coo = mat.to_coo().prune()
+    rows = np.asarray(coo.rows) + 1
+    cols = np.asarray(coo.cols) + 1
+    vals = np.asarray(coo.vals, np.float64)
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{coo.shape[0]} {coo.shape[1]} {rows.shape[0]}\n")
+        for r, c, v in zip(rows, cols, vals):
+            f.write(f"{r} {c} {v:.17g}\n")

@@ -1,0 +1,174 @@
+"""Structural algebra: add/sub, transpose, SpGEMM, bilinear forms, symmetry.
+
+Reference counterparts are the SparseMatrix trait-default algorithms
+(reference: src/sparsematrix.rs:124-223): ``add``/``sub`` via per-entry
+add_to (:124-143), ``transpose`` via re-insertion (:174-183), ``prod``
+SpGEMM via a dense column sweep with a sorted-row merge (:186-210),
+``inner_prod`` bilinear form (:161-171), ``is_symmetric`` (:213-223).
+
+TPU-native redesign: every structural op is a batch sort/segment-scan over
+flat entry streams with *static* output capacities (XLA requires static
+shapes).  Outputs are canonical COO with tail padding; ``prune()`` compacts
+host-side.  SpGEMM expands A's entries against B's rows in ELL form —
+bounded fan-out nse_A × K_B — then canonicalizes; this is the
+capacity-bounded strategy for unpredictable output nnz (SURVEY.md §7a).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.base import dedup_sorted_coo, sort_coo
+from ..formats.coo import COO
+from ..types import accum_dtype, compute_index_dtype
+from .matvec import spmv
+
+
+class DimensionError(ValueError):
+    """≈ SparseMatError::DimensionMismatch (src/sparsematrix.rs:10-26), but an
+    exception at the Python API edge instead of a Result type."""
+
+
+def _same_format_as(template, coo: COO):
+    """Convert a canonical COO result back to the input's format class."""
+    from ..formats.csr import CSR
+    from ..formats.ell import ELL
+
+    if isinstance(template, CSR):
+        return coo.to_csr()
+    if isinstance(template, ELL):
+        return coo.to_csr().to_ell()
+    return coo
+
+
+def add(a, b):
+    """A + B — union of patterns, values summed (≈ src/sparsematrix.rs:124-136).
+
+    Output capacity = nse_A + nse_B with tail padding for coordinates that
+    coincided.  Shapes must be broadcast-compatible the way the reference's
+    add_to loop implies: result shape = elementwise max.
+    """
+    ca, cb = a.to_coo(), b.to_coo()
+    shape = (max(ca.shape[0], cb.shape[0]), max(ca.shape[1], cb.shape[1]))
+    # re-tag padding of each operand to the merged shape's pad row
+    def retag(c):
+        valid = c.rows.astype(jnp.int32) < c.shape[0]
+        return (jnp.where(valid, c.rows.astype(jnp.int32), shape[0]),
+                jnp.where(valid, c.cols.astype(jnp.int32), 0),
+                jnp.where(valid, c.vals, 0))
+
+    ra, cca, va = retag(ca)
+    rb, ccb, vb = retag(cb)
+    dt = jnp.result_type(va.dtype, vb.dtype)
+    rows = jnp.concatenate([ra, rb])
+    cols = jnp.concatenate([cca, ccb])
+    vals = jnp.concatenate([va.astype(dt), vb.astype(dt)])
+    r, c, v, _ = sort_coo(rows, cols, vals, shape)
+    r, c, v, _ = dedup_sorted_coo(r, c, v, shape)
+    idt = ca.index_dtype
+    out = COO(rows=r.astype(idt), cols=c.astype(idt), vals=v, shape=shape,
+              canonical=True)
+    return _same_format_as(a, out)
+
+
+def sub(a, b):
+    """A − B (≈ src/sparsematrix.rs:139-143)."""
+    return add(a, b.scale(-1))
+
+
+def transpose(a):
+    """Aᵀ (≈ src/sparsematrix.rs:174-183, which re-inserts entry-by-entry;
+    here: swap coordinate arrays and re-sort — one device sort)."""
+    coo = a.to_coo()
+    n_rows, n_cols = coo.shape
+    valid = coo.rows.astype(jnp.int32) < n_rows
+    new_rows = jnp.where(valid, coo.cols.astype(jnp.int32), n_cols)
+    new_cols = jnp.where(valid, coo.rows.astype(jnp.int32), 0)
+    new_vals = jnp.where(valid, coo.vals, 0)
+    shape = (n_cols, n_rows)
+    r, c, v, _ = sort_coo(new_rows, new_cols, new_vals, shape)
+    idt = coo.index_dtype
+    out = COO(rows=r.astype(idt), cols=c.astype(idt), vals=v, shape=shape,
+              canonical=True)
+    return _same_format_as(a, out)
+
+
+def spgemm(a, b, *, n_cols_per_row_b: int | None = None):
+    """C = A @ B for two sparse operands (≈ ``prod``,
+    src/sparsematrix.rs:186-210).
+
+    The reference demands a pre-assembled column view on ``b`` and sweeps all
+    n_cols columns per row; here B is frozen to ELL so each A-entry
+    (i, k, a_ik) fans out against row k of B in a static (nse_A × K_B)
+    expansion, then one sort + segment-sum canonicalizes.  Output stores sums
+    for every structurally-reached coordinate; use ``.prune(keep_zeros=False)``
+    to match the reference's nonzero-only storage (src/sparsematrix.rs:204-206).
+
+    Dimension guard: standard inner-dimension match (A.n_cols == B.n_rows).
+    [The reference instead checks n_rows==rhs.n_cols && n_cols==rhs.n_rows
+    (src/sparsematrix.rs:188) — equivalent for the square matrices its tests
+    use; the textbook rule is intended.]
+    """
+    if a.shape[1] != b.shape[0]:
+        raise DimensionError(
+            f"spgemm: inner dimensions differ — {a.shape} @ {b.shape}")
+    ca = a.to_coo()
+    bell = b.to_ell(n_cols_per_row=n_cols_per_row_b)
+    shape = (a.shape[0], b.shape[1])
+    kb = bell.n_cols_per_row
+    adt = accum_dtype(jnp.result_type(ca.vals.dtype, bell.vals.dtype))
+
+    a_valid = ca.rows.astype(jnp.int32) < ca.shape[0]
+    a_rows = jnp.where(a_valid, ca.rows.astype(jnp.int32), shape[0])
+    a_k = jnp.where(a_valid, ca.cols.astype(jnp.int32), 0)
+
+    # fan out: candidate (i, j, a_ik * b_kj) for each B-slot of row k
+    b_cols = bell.cols.at[a_k].get(mode="fill", fill_value=0)      # (nse_A, K_B)
+    b_vals = bell.vals.at[a_k].get(mode="fill", fill_value=0)
+    b_nnz = bell.row_nnz.at[a_k].get(mode="fill", fill_value=0)
+    slot_valid = (jnp.arange(kb, dtype=jnp.int32)[None, :]
+                  < b_nnz[:, None].astype(jnp.int32)) & a_valid[:, None]
+    rows = jnp.where(slot_valid, a_rows[:, None], shape[0]).reshape(-1)
+    cols = jnp.where(slot_valid, b_cols.astype(jnp.int32), 0).reshape(-1)
+    vals = jnp.where(
+        slot_valid, ca.vals.astype(adt)[:, None] * b_vals.astype(adt), 0
+    ).reshape(-1)
+
+    r, c, v, _ = sort_coo(rows, cols, vals, shape)
+    r, c, v, _ = dedup_sorted_coo(r, c, v, shape)
+    idt = ca.index_dtype
+    out = COO(rows=r.astype(compute_index_dtype(idt)), cols=c.astype(compute_index_dtype(idt)),
+              vals=v, shape=shape, canonical=True)
+    return _same_format_as(a, out)
+
+
+def inner_prod(mat, l, r):
+    """lᵀ A r bilinear form (≈ src/sparsematrix.rs:161-171)."""
+    l = jnp.asarray(l)
+    return jnp.dot(l, spmv(mat, r), preferred_element_type=accum_dtype(l.dtype))
+
+
+def is_symmetric(a, *, rtol=0.0, atol=0.0) -> jax.Array:
+    """Structural+value symmetry test (≈ src/sparsematrix.rs:213-223).
+
+    The reference walks entries and compares get(j,i) exactly; here we
+    canonicalize A and Aᵀ and compare the streams (exact by default,
+    tolerances available for float round-trip).
+    """
+    if a.shape[0] != a.shape[1]:
+        return jnp.asarray(False)
+    ca = a.to_coo().sort()
+    cat = transpose(a).to_coo().sort()
+    if ca.nse != cat.nse:
+        # capacities can differ after conversions; compare via dense fallback
+        d = ca.todense()
+        return jnp.all(jnp.abs(d - d.T) <= atol + rtol * jnp.abs(d))
+    same_struct = jnp.all((ca.rows == cat.rows) & (ca.cols == cat.cols))
+    close = jnp.all(jnp.abs(ca.vals - cat.vals) <= atol + rtol * jnp.abs(ca.vals))
+    return same_struct & close
+
+
+def extract_row(mat, i):
+    """Row i as a SparseVec (≈ SparseMatrix::get_row, src/sparsematrix.rs:272-280)."""
+    return mat.to_csr().get_row(i)

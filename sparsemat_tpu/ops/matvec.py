@@ -1,0 +1,127 @@
+"""SpMV / SpMM — the hot loops of the library.
+
+Reference counterpart: the serial row-loop ``mvp``
+(reference: src/sparsematrix.rs:146-158) shared by every format via
+``iter_row``.  TPU-native redesign: the loop nest becomes either
+
+* a gather + segment-sum over the flat entry stream (COO/CSR path — XLA
+  lowers the gather to vectorized HBM reads and the segment sum to a
+  scatter-add), or
+* K dense gather-FMA sweeps over an ELL rectangle (regular, VPU-friendly,
+  no data-dependent shapes) — preferred when nnz/row is tight, or
+* the Pallas kernels in sparsemat_tpu/kernels/ for the tuned path.
+
+Dispatch picks by format; ``spmv_auto`` additionally converts CSR→ELL when
+the padding waste is low.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.coo import COO
+from ..formats.csr import CSR
+from ..formats.ell import ELL
+from ..types import accum_dtype
+
+
+def _check_dims(mat, x, what="spmv"):
+    if x.shape[0] != mat.shape[1]:
+        raise ValueError(
+            f"{what}: dimension mismatch — matrix is {mat.shape}, operand has "
+            f"leading dim {x.shape[0]}")
+
+
+# --- COO / CSR stream path ---------------------------------------------------
+
+def _stream_spmv(rows, cols, vals, n_rows, x):
+    adt = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
+    xg = x.at[cols.astype(jnp.int32)].get(mode="fill", fill_value=0)
+    prod = vals.astype(adt) * xg.astype(adt)
+    y = jnp.zeros((n_rows,), adt)
+    # padding entries carry row == n_rows → dropped by scatter semantics
+    return y.at[rows.astype(jnp.int32)].add(prod, mode="drop")
+
+
+def _stream_spmm(rows, cols, vals, n_rows, B):
+    adt = accum_dtype(jnp.result_type(vals.dtype, B.dtype))
+    Bg = B.at[cols.astype(jnp.int32)].get(mode="fill", fill_value=0)
+    prod = vals.astype(adt)[:, None] * Bg.astype(adt)
+    y = jnp.zeros((n_rows, B.shape[1]), adt)
+    return y.at[rows.astype(jnp.int32)].add(prod, mode="drop")
+
+
+# --- ELL path ----------------------------------------------------------------
+
+def _ell_spmv(ell: ELL, x):
+    adt = accum_dtype(jnp.result_type(ell.vals.dtype, x.dtype))
+    xg = x.at[ell.cols.astype(jnp.int32)].get(mode="fill", fill_value=0)
+    y = jnp.sum(ell.vals.astype(adt) * xg.astype(adt), axis=1)
+    return y[: ell.n_rows]
+
+
+def _ell_spmm(ell: ELL, B):
+    adt = accum_dtype(jnp.result_type(ell.vals.dtype, B.dtype))
+    # (n_rows_p, K, m) gather; summed over K.  For large K*m the Pallas
+    # kernel (kernels/spmm.py) streams this instead of materializing.
+    Bg = B.at[ell.cols.astype(jnp.int32)].get(mode="fill", fill_value=0)
+    y = jnp.sum(ell.vals.astype(adt)[:, :, None] * Bg.astype(adt), axis=1)
+    return y[: ell.n_rows]
+
+
+# --- public dispatch ---------------------------------------------------------
+
+def spmv(mat, x, *, method: str | None = None) -> jax.Array:
+    """y = A @ x.  ``method`` ∈ {None (auto by format), 'stream', 'ell',
+    'pallas'}."""
+    x = jnp.asarray(x)
+    _check_dims(mat, x)
+    if method == "pallas":
+        from ..kernels.spmv import spmv_pallas
+
+        return spmv_pallas(mat, x)
+    if isinstance(mat, ELL) or method == "ell":
+        ell = mat if isinstance(mat, ELL) else mat.to_ell()
+        return _ell_spmv(ell, x)
+    if isinstance(mat, CSR):
+        return _stream_spmv(mat.row_ids, mat.indices, mat.data, mat.n_rows, x)
+    if isinstance(mat, COO):
+        return _stream_spmv(mat.rows, mat.cols, mat.vals, mat.n_rows, x)
+    # any other format: canonicalize through COO
+    coo = mat.to_coo()
+    return _stream_spmv(coo.rows, coo.cols, coo.vals, coo.n_rows, x)
+
+
+def spmm(mat, B, *, method: str | None = None) -> jax.Array:
+    """Y = A @ B for dense B of shape (n_cols, m)."""
+    B = jnp.asarray(B)
+    _check_dims(mat, B, "spmm")
+    if method == "pallas":
+        from ..kernels.spmm import spmm_pallas
+
+        return spmm_pallas(mat, B)
+    if isinstance(mat, ELL) or method == "ell":
+        ell = mat if isinstance(mat, ELL) else mat.to_ell()
+        return _ell_spmm(ell, B)
+    if isinstance(mat, CSR):
+        return _stream_spmm(mat.row_ids, mat.indices, mat.data, mat.n_rows, B)
+    if isinstance(mat, COO):
+        return _stream_spmm(mat.rows, mat.cols, mat.vals, mat.n_rows, B)
+    coo = mat.to_coo()
+    return _stream_spmm(coo.rows, coo.cols, coo.vals, coo.n_rows, B)
+
+
+def rmatvec(mat, y) -> jax.Array:
+    """x = Aᵀ @ y without materializing the transpose (scatter by column)."""
+    y = jnp.asarray(y)
+    if y.shape[0] != mat.shape[0]:
+        raise ValueError(f"rmatvec: matrix is {mat.shape}, operand {y.shape}")
+    coo = mat.to_coo()
+    adt = accum_dtype(jnp.result_type(coo.vals.dtype, y.dtype))
+    valid = coo.rows.astype(jnp.int32) < mat.shape[0]
+    yg = y.at[coo.rows.astype(jnp.int32)].get(mode="fill", fill_value=0)
+    prod = jnp.where(valid, coo.vals.astype(adt) * yg.astype(adt), 0)
+    out = jnp.zeros((mat.shape[1],), adt)
+    scatter_cols = jnp.where(valid, coo.cols.astype(jnp.int32), mat.shape[1])
+    return out.at[scatter_cols].add(prod, mode="drop")
