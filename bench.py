@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` reports
+the fraction of the *measured* HBM-bandwidth roofline achieved by the best
+SpMV path (BASELINE.json north-star target: >= 0.70 of roofline nnz/s per
+chip).  Detailed per-config results go to stderr.
+
+Methodology: per-dispatch overhead through the TPU tunnel is ~1 ms, far
+larger than the kernels — so every timing runs K chained iterations *inside
+one jitted program* (x_{k+1} = f(x_k)) and divides, the same way the CG loop
+amortizes.  Bandwidth roofline is measured the same way on a big copy.
+
+Configs (BASELINE.json):
+ 1. banded CSR, 1e4 rows, ~5 nnz/row, f32      (the stated config 1)
+ 2. large banded, 2^20 rows, 5 diagonals, f32  (bandwidth-saturating size)
+ 3. CG on 2D 5-point Poisson 512², f32         (iterations/second)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+_RTT = None
+
+
+def _sync_scalar(arr):
+    """Force real completion.  On the tunneled TPU platform
+    ``block_until_ready`` returns before execution finishes, so the only
+    reliable fence is a host readback of a value derived from the result."""
+    return float(jnp.sum(arr[..., :1]))
+
+
+def tunnel_rtt():
+    global _RTT
+    if _RTT is None:
+        z = jnp.zeros((8,), jnp.float32)
+        f = jax.jit(lambda v: v + 1)
+        _sync_scalar(f(z))
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _sync_scalar(f(z))
+            samples.append(time.perf_counter() - t0)
+        _RTT = min(samples)
+        log(f"tunnel round-trip latency: {_RTT*1e3:.1f} ms (subtracted from timings)")
+    return _RTT
+
+
+def time_chained(step_fn, x0, captures=(), reps=2, target_secs=1.0,
+                 max_inner=4000, inner=None):
+    """Time data-dependent applications of ``step_fn(v, *captures)`` inside
+    ONE jitted program (per-dispatch tunnel overhead ~40 ms would otherwise
+    dominate); sync via host readback; subtract the tunnel RTT.  The chain
+    length is auto-scaled so each timed run is ~``target_secs`` long — large
+    vs the ~±5 ms RTT jitter.
+
+    ``captures`` (e.g. the matrix) MUST be passed here, not closed over —
+    closure constants are inlined into the HLO and a 400 MB matrix blows the
+    remote-compile payload limit."""
+    rtt = tunnel_rtt()
+
+    def make_run(inner):
+        @jax.jit
+        def run(x, caps):
+            return jax.lax.fori_loop(
+                0, inner, lambda i, v: step_fn(v, *caps), x)
+
+        return run
+
+    if inner is None:
+        probe_inner = 10
+        run = make_run(probe_inner)
+        _sync_scalar(run(x0, captures))  # compile + warm
+        t0 = time.perf_counter()
+        _sync_scalar(run(x0, captures))
+        est = max((time.perf_counter() - t0 - rtt) / probe_inner, 1e-7)
+        inner = int(np.clip(target_secs / est, probe_inner, max_inner))
+        if inner > 1.5 * probe_inner:
+            run = make_run(inner)
+            _sync_scalar(run(x0, captures))
+        else:
+            inner = probe_inner
+    else:
+        run = make_run(inner)
+        _sync_scalar(run(x0, captures))
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync_scalar(run(x0, captures))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 1e-9) / inner
+
+
+def measure_hbm_bw():
+    """Achieved HBM bandwidth: chained v ← roll(v) + a over 256 MB buffers.
+    The roll + second operand defeat both elementwise-chain fusion and
+    algebraic collapse, so each iteration really moves 2 reads + 1 write."""
+    n = 1 << 26
+    x = jnp.ones((n,), jnp.float32)
+    a = jnp.full((n,), 1e-9, jnp.float32)
+    dt = time_chained(lambda v, aa: jnp.roll(v, 12 * 1024) + aa, x,
+                      captures=(a,), inner=300)
+    bw = 3 * n * 4 / dt
+    log(f"measured HBM stream bandwidth: {bw/1e9:.0f} GB/s ({dt*1e6:.0f} us / 768 MB pass)")
+    return bw
+
+
+def banded_csr(n_rows, offsets, dtype=np.float32, seed=0):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    diags = [rng.standard_normal(n_rows - abs(o)).astype(dtype) for o in offsets]
+    return sp.diags(diags, offsets, shape=(n_rows, n_rows), format="csr").astype(dtype)
+
+
+def banded_dia_device(n, offsets, seed=0):
+    """Build a random banded DIA matrix directly ON DEVICE — transferring an
+    84M-nnz matrix through the TPU tunnel takes minutes; generating it with
+    the device PRNG takes milliseconds."""
+    from sparsemat_tpu.formats.dia import DIA
+
+    key = jax.random.PRNGKey(seed)
+    rows = []
+    idx = jnp.arange(n, dtype=jnp.int32)
+    for k, off in enumerate(offsets):
+        vals = jax.random.normal(jax.random.fold_in(key, k), (n,), jnp.float32)
+        valid = (idx + off >= 0) & (idx + off < n)
+        rows.append(jnp.where(valid, vals, 0))
+    return DIA(data=jnp.stack(rows), offsets=tuple(offsets), shape=(n, n))
+
+
+def poisson2d_dia_device(n):
+    """2D 5-point Poisson (n² rows) as device-built DIA: zero host transfer."""
+    from sparsemat_tpu.formats.dia import DIA
+
+    m = n * n
+    i = jnp.arange(m, dtype=jnp.int32)
+    main = jnp.full((m,), 4.0, jnp.float32)
+    west = jnp.where(i % n != 0, -1.0, 0.0)          # off = -1
+    east = jnp.where(i % n != n - 1, -1.0, 0.0)      # off = +1
+    north = jnp.where(i >= n, -1.0, 0.0)             # off = -n
+    south = jnp.where(i < m - n, -1.0, 0.0)          # off = +n
+    return DIA(data=jnp.stack([north, west, main, east, south]),
+               offsets=(-n, -1, 0, 1, n), shape=(m, m))
+
+
+def check_dia_sampled(dia, x, y, n_check=2048):
+    """Verify a device SpMV result on a sampled row window (host pulls only
+    the window, not the whole matrix)."""
+    n = dia.shape[0]
+    lo = n // 3
+    hi = lo + n_check
+    max_off = max(abs(o) for o in dia.offsets)
+    xs = np.asarray(x[max(0, lo - max_off): min(n, hi + max_off)])
+    x0 = max(0, lo - max_off)
+    ys = np.asarray(y[lo:hi])
+    ref = np.zeros(hi - lo, np.float64)
+    for d, off in enumerate(dia.offsets):
+        dd = np.asarray(dia.data[d, lo:hi], np.float64)
+        src = np.arange(lo, hi) + off
+        ok = (src >= 0) & (src < n)
+        ref[ok] += dd[ok] * xs[src[ok] - x0]
+    return np.abs(ys - ref).max() / max(np.abs(ref).max(), 1e-30)
+
+
+def bench_spmv(name, mat_scipy, hbm_bw, variant_names=("csr_stream", "ell", "dia")):
+    import sparsemat_tpu as smt
+
+    nnz = mat_scipy.nnz
+    n = mat_scipy.shape[0]
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n).astype(np.float32))
+    csr = smt.CSR.from_scipy(mat_scipy)
+    y_ref = mat_scipy @ np.asarray(x)
+    nrm = np.abs(y_ref).max()
+
+    results = {}
+    all_variants = {
+        "csr_stream": lambda: csr,
+        "ell": csr.to_ell,
+        "dia": csr.to_dia,
+        "auto": lambda: smt.auto_format(csr),
+    }
+    variants = {k: all_variants[k]() for k in variant_names}
+    for vname, mat in variants.items():
+        try:
+            y = jax.jit(smt.spmv)(mat, x)
+            err = np.abs(np.asarray(y) - y_ref).max() / max(nrm, 1e-30)
+            if err > 1e-4:
+                log(f"  {name}/{vname}: WRONG RESULT (rel err {err:.1e}) — skipped")
+                continue
+            # chain y -> x (square matrix); constant damping bounds growth
+            # (values may under/overflow eventually — timing is unaffected)
+            dt = time_chained(lambda v, m: smt.spmv(m, v) * 5e-4, x,
+                              captures=(mat,))
+            results[vname] = nnz / dt
+            log(f"  {name}/{vname:12s}: {dt*1e6:9.1f} us/spmv  {nnz/dt/1e9:7.3f} Gnnz/s")
+        except Exception as e:  # pragma: no cover - defensive bench path
+            log(f"  {name}/{vname}: failed — {str(e)[:120]}")
+
+    best = max(results, key=results.get)
+    # roofline: DIA-style per-nnz traffic — 4B value + 4B x read per nnz,
+    # plus 4B y write per row (the normalize pass adds ~2 more passes over
+    # n*4B, charged below so the fraction is honest)
+    bytes_per_spmv = nnz * 8.0 + 2 * n * 4.0
+    roofline = hbm_bw / bytes_per_spmv * nnz
+    frac = results[best] / roofline
+    log(f"  {name}: best={best} {results[best]/1e9:.3f} Gnnz/s, roofline "
+        f"{roofline/1e9:.3f} Gnnz/s → {100*frac:.1f}% of speed-of-light")
+    return results[best], frac
+
+
+def bench_cg(hbm_bw, n=512):
+    from sparsemat_tpu import solvers
+
+    m = n * n
+    A = poisson2d_dia_device(n)
+    nnz = int(np.asarray(A.n_non_zero_entries()))
+    b = jnp.ones((m,), jnp.float32)
+    iters = 2000 if m < 10**6 else 300
+
+    f = jax.jit(lambda mat, rhs: solvers.cg(mat, rhs, tol=0.0, maxiter=iters)[0])
+    rtt = tunnel_rtt()
+    _sync_scalar(f(A, b))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync_scalar(f(A, b))
+        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+    ips = 1.0 / best
+    # one CG iter ≈ 1 spmv (nnz*8B) + ~5 vector passes (axpy/dots, n*4B each)
+    iter_bytes = nnz * 8.0 + 10 * m * 4.0
+    frac = iter_bytes / best / hbm_bw
+    log(f"  CG Poisson {m} rows f32: {ips:,.0f} iterations/s "
+        f"({best*1e6:.0f} us/iter, ~{100*frac:.1f}% of HBM roofline"
+        f"{' — VMEM-resident regime' if frac > 1 else ''})")
+    return ips, frac
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    hbm_bw = measure_hbm_bw()
+
+    # config 1 (BASELINE.json): 1e4 rows ~5 nnz/row — small enough to be
+    # VMEM-resident across solver iterations (fractions >1 are real: the
+    # HBM roofline doesn't bind in that regime)
+    small = banded_csr(10_000, [-100, -1, 0, 1, 100])
+    small_nnz_s, _ = bench_spmv("banded_1e4", small, hbm_bw,
+                                variant_names=("csr_stream", "ell", "dia"))
+
+    # HBM-bound headline: 2^24 rows × 5 diagonals = 84M nnz, ~400 MB/pass
+    import sparsemat_tpu as smt
+
+    n_big = 1 << 24
+    big = banded_dia_device(n_big, [-4096, -1, 0, 1, 4096])
+    x_big = jax.random.normal(jax.random.PRNGKey(99), (n_big,), jnp.float32)
+    y_big = jax.jit(smt.spmv)(big, x_big)
+    err = check_dia_sampled(big, x_big, y_big)
+    if err > 1e-4:
+        log(f"  banded_16M: WRONG RESULT rel err {err:.1e}")
+    nnz_big = int(np.asarray(big.n_non_zero_entries()))
+    dt = time_chained(lambda v, m: smt.spmv(m, v) * 5e-4, x_big,
+                      captures=(big,))
+    big_nnz_s = nnz_big / dt
+    bytes_per = nnz_big * 8.0 + 2 * n_big * 4.0
+    big_frac = (bytes_per / dt) / hbm_bw
+    log(f"  banded_16M/dia: {dt*1e6:.1f} us/spmv  {big_nnz_s/1e9:.3f} Gnnz/s "
+        f"→ {100*big_frac:.1f}% of HBM roofline (sampled check err {err:.1e})")
+
+    cg_small_ips, _ = bench_cg(hbm_bw, n=512)        # VMEM regime
+    cg_big_ips, cg_big_frac = bench_cg(hbm_bw, n=4096)  # HBM regime, 16.8M rows
+
+    print(json.dumps({
+        "metric": "spmv_fraction_of_hbm_roofline_banded_16M",
+        "value": round(big_frac, 4),
+        "unit": "fraction",
+        "vs_baseline": round(big_frac / 0.70, 4),  # target: ≥70% of roofline
+        "detail": {
+            "spmv_banded_16M_gnnz_per_s": round(big_nnz_s / 1e9, 3),
+            "spmv_banded_1e4_gnnz_per_s": round(small_nnz_s / 1e9, 3),
+            "cg_poisson_262k_iters_per_s": round(cg_small_ips, 1),
+            "cg_poisson_16M_iters_per_s": round(cg_big_ips, 1),
+            "cg_poisson_16M_roofline_frac": round(cg_big_frac, 4),
+            "hbm_bw_gb_s": round(hbm_bw / 1e9, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

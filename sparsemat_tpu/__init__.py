@@ -16,8 +16,10 @@ TPU/XLA:
   src/sparsemat_par.rs:37-68).
 """
 
-from . import formats, ops, vectors
-from .formats import COO, CSR, ELL, SELL, SparseFormat
+from . import formats, ops, solvers, vectors
+from .builder import PartitionedBuilder, SparseBuilder
+from .solvers import BiCGStab, ConjugateGradient, Jacobi, JacobiPreconditioner, SolveInfo
+from .formats import COO, CSR, DIA, ELL, SELL, SparseFormat, auto_format
 from .ops import (
     DimensionError,
     add,
@@ -36,7 +38,10 @@ from .vectors import DenseVec, SparseVec, norm, norm_squared
 __version__ = "0.1.0"
 
 __all__ = [
-    "COO", "CSR", "ELL", "SELL", "SparseFormat",
+    "COO", "CSR", "DIA", "ELL", "SELL", "SparseFormat", "auto_format",
+    "SparseBuilder", "PartitionedBuilder",
+    "ConjugateGradient", "Jacobi", "BiCGStab", "JacobiPreconditioner",
+    "SolveInfo", "solvers",
     "DimensionError",
     "spmv", "spmm", "spgemm", "rmatvec",
     "add", "sub", "transpose", "inner_prod", "is_symmetric", "extract_row",

@@ -18,7 +18,37 @@ capability (per-row access during assembly) lives in the host-side builder.
 from .base import SparseFormat
 from .coo import COO
 from .csr import CSR
+from .dia import DIA
 from .ell import ELL
 from .sell import SELL
 
-__all__ = ["SparseFormat", "COO", "CSR", "ELL", "SELL"]
+__all__ = ["SparseFormat", "COO", "CSR", "DIA", "ELL", "SELL", "auto_format"]
+
+
+def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):
+    """Pick the fastest compute format for a frozen matrix (host-side).
+
+    Heuristic (≈ the per-matrix kernel dispatch SURVEY.md §7 M3 calls for):
+
+    * few distinct diagonals → DIA (gather-free shifted FMAs);
+    * tight nnz/row distribution → ELL (padding waste below
+      ``max_ell_waste``×);
+    * skewed distribution → SELL (per-slice padding);
+    * fallback → CSR gather + segment-sum stream.
+    """
+    import numpy as np
+
+    csr = mat.to_csr()
+    nnz = int(np.asarray(csr.n_non_zero_entries()))
+    if nnz == 0:
+        return csr
+    if DIA.diagonal_count(csr) <= max_diags:
+        return DIA.from_csr(csr)
+    kmax = csr.max_row_nnz()
+    n_rows = csr.shape[0]
+    if kmax * n_rows <= max_ell_waste * nnz:
+        return ELL.from_csr(csr)
+    sell = SELL.from_csr(csr, slice_height=8)
+    if sell.nse <= max_ell_waste * nnz:
+        return sell
+    return csr

@@ -69,6 +69,11 @@ class SparseFormat:
 
         return SELL.from_csr(self.to_csr(), slice_height=slice_height)
 
+    def to_dia(self):
+        from .dia import DIA
+
+        return DIA.from_csr(self.to_csr())
+
     @property
     def n_rows(self) -> int:
         return self.shape[0]

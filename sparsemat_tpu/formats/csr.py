@@ -71,6 +71,37 @@ class CSR(SparseFormat):
                    row_ids=row_ids, shape=tuple(shape))
 
     @classmethod
+    def from_host_coo(cls, rows, cols, vals, shape, *, dtype=None,
+                      index_dtype=DEFAULT_INDEX_DTYPE, sum_duplicates=True) -> "CSR":
+        """Build canonical CSR from host (numpy) triplets entirely on the
+        host — no device compilation.  This is the fast freeze path used by
+        the builder and the I/O loaders (device-side ``COO.sort`` exists for
+        triplets that already live on-device / under jit)."""
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        vals = np.asarray(vals)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        n_rows, n_cols = map(int, shape)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        if sum_duplicates and rows.size:
+            key_new = np.empty(rows.size, bool)
+            key_new[0] = True
+            key_new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+            gid = np.cumsum(key_new) - 1
+            summed = np.zeros(int(gid[-1]) + 1, vals.dtype)
+            np.add.at(summed, gid, vals)
+            rows, cols, vals = rows[key_new], cols[key_new], summed
+        counts = np.bincount(rows, minlength=n_rows)
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(index_dtype)
+        return cls(indptr=jnp.asarray(indptr),
+                   indices=jnp.asarray(cols.astype(index_dtype)),
+                   data=jnp.asarray(vals),
+                   row_ids=jnp.asarray(rows.astype(index_dtype)),
+                   shape=(n_rows, n_cols))
+
+    @classmethod
     def from_dense(cls, mat, *, index_dtype=DEFAULT_INDEX_DTYPE) -> "CSR":
         from .coo import COO
 

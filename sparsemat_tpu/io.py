@@ -85,14 +85,9 @@ def load_mtx(path: str, *, dtype=np.float32, index_dtype=np.int32) -> CSR:
 
 
 def _coo_to_csr(rows, cols, vals, shape, dtype, index_dtype) -> CSR:
-    import jax.numpy as jnp
-
-    from .formats.coo import COO
-
-    coo = COO.from_arrays(
-        jnp.asarray(rows.astype(index_dtype)), jnp.asarray(cols.astype(index_dtype)),
-        jnp.asarray(vals.astype(dtype)), shape)
-    return coo.to_csr()
+    # host-side canonicalization: no device compilation on the load path
+    return CSR.from_host_coo(rows, cols, vals, shape, dtype=dtype,
+                             index_dtype=index_dtype)
 
 
 def _load_mtx_numpy(path: str, *, dtype=np.float32, index_dtype=np.int32) -> CSR:

@@ -1,0 +1,131 @@
+"""Native (C++) runtime components: assembly builder + MatrixMarket parser.
+
+Compiled on first use with g++ into a cached shared object (keyed by source
+hash) and bound via ctypes — no pybind11 dependency.  Every consumer has a
+pure-Python fallback, so a missing toolchain degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SOURCES = ["assembly.cc", "mmio.cc"]
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_error: Optional[str] = None
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for s in _SOURCES:
+        with open(os.path.join(_HERE, s), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _build() -> str:
+    cache_dir = os.environ.get(
+        "SPARSEMAT_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "sparsemat_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"libsmt_native_{_source_hash()}.so")
+    if os.path.exists(so_path):
+        return so_path
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
+    with tempfile.TemporaryDirectory() as td:
+        tmp_so = os.path.join(td, "libsmt_native.so")
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+               "-o", tmp_so] + srcs
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp_so, so_path)
+    return so_path
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    sig = {
+        "smt_builder_new": ([ctypes.c_uint64], ctypes.c_void_p),
+        "smt_builder_free": ([ctypes.c_void_p], None),
+        "smt_builder_add_to": ([ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double], None),
+        "smt_builder_set": ([ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double], None),
+        "smt_builder_get": ([ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64], ctypes.c_double),
+        "smt_builder_contains": ([ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64], ctypes.c_int32),
+        "smt_builder_add_batch": ([ctypes.c_void_p, ctypes.c_uint64, i64p, i64p, f64p], None),
+        "smt_builder_set_batch": ([ctypes.c_void_p, ctypes.c_uint64, i64p, i64p, f64p], None),
+        "smt_builder_nnz": ([ctypes.c_void_p], ctypes.c_uint64),
+        "smt_builder_n_rows": ([ctypes.c_void_p], ctypes.c_int64),
+        "smt_builder_n_cols": ([ctypes.c_void_p], ctypes.c_int64),
+        "smt_builder_export": ([ctypes.c_void_p, i64p, i64p, f64p], None),
+        "smt_builder_export_csr": ([ctypes.c_void_p, i64p, i64p, f64p], None),
+        "smt_builder_scale": ([ctypes.c_void_p, ctypes.c_double], None),
+        "smt_mtx_parse": ([ctypes.c_char_p], ctypes.c_void_p),
+        "smt_mtx_error": ([ctypes.c_void_p], ctypes.c_char_p),
+        "smt_mtx_nnz": ([ctypes.c_void_p], ctypes.c_uint64),
+        "smt_mtx_n_rows": ([ctypes.c_void_p], ctypes.c_int64),
+        "smt_mtx_n_cols": ([ctypes.c_void_p], ctypes.c_int64),
+        "smt_mtx_export": ([ctypes.c_void_p, i64p, i64p, f64p], None),
+        "smt_mtx_free": ([ctypes.c_void_p], None),
+    }
+    for name, (argtypes, restype) in sig.items():
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+        fn.restype = restype
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first call; None if unavailable."""
+    global _lib, _lib_error
+    if _lib is not None or _lib_error is not None:
+        return _lib
+    if os.environ.get("SPARSEMAT_TPU_NO_NATIVE"):
+        _lib_error = "disabled via SPARSEMAT_TPU_NO_NATIVE"
+        return None
+    try:
+        _lib = _bind(ctypes.CDLL(_build()))
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+        _lib_error = str(e)
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def mmio_available() -> bool:
+    return get_lib() is not None
+
+
+def parse_mtx_native(path: str, dtype=np.float32):
+    """Parse a MatrixMarket coordinate file → (rows, cols, vals, shape)."""
+    lib = get_lib()
+    if lib is None:
+        raise ImportError(f"native library unavailable: {_lib_error}")
+    h = lib.smt_mtx_parse(path.encode())
+    try:
+        err = lib.smt_mtx_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        nnz = lib.smt_mtx_nnz(h)
+        shape = (lib.smt_mtx_n_rows(h), lib.smt_mtx_n_cols(h))
+        rows = np.empty(nnz, np.int64)
+        cols = np.empty(nnz, np.int64)
+        vals = np.empty(nnz, np.float64)
+        lib.smt_mtx_export(
+            h,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    finally:
+        lib.smt_mtx_free(h)
+    return rows, cols, vals.astype(dtype), shape

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..formats.coo import COO
 from ..formats.csr import CSR
+from ..formats.dia import DIA, dia_spmm, dia_spmv
 from ..formats.ell import ELL
 from ..types import accum_dtype
 
@@ -81,6 +82,9 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
         from ..kernels.spmv import spmv_pallas
 
         return spmv_pallas(mat, x)
+    if isinstance(mat, DIA) or method == "dia":
+        dia = mat if isinstance(mat, DIA) else mat.to_dia()
+        return dia_spmv(dia, x)
     if isinstance(mat, ELL) or method == "ell":
         ell = mat if isinstance(mat, ELL) else mat.to_ell()
         return _ell_spmv(ell, x)
@@ -101,6 +105,9 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
         from ..kernels.spmm import spmm_pallas
 
         return spmm_pallas(mat, B)
+    if isinstance(mat, DIA) or method == "dia":
+        dia = mat if isinstance(mat, DIA) else mat.to_dia()
+        return dia_spmm(dia, B)
     if isinstance(mat, ELL) or method == "ell":
         ell = mat if isinstance(mat, ELL) else mat.to_ell()
         return _ell_spmm(ell, B)

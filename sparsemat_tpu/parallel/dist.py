@@ -1,0 +1,335 @@
+"""Row-partitioned distributed sparse matrices.
+
+Successor of ``SparseMatPar`` (reference: src/sparsemat_par.rs:12-35): the
+same contiguous block-row decomposition, but blocks live on different chips
+of a ``jax.sharding.Mesh`` and the SpMV the reference left as a
+commented-out thread sketch (sparsemat_par.rs:37-68) is realized with
+``shard_map`` + collectives:
+
+* ``DistDIA`` — banded matrices; the operand vector exchanges only h-wide
+  *halo edges* with neighbor chips (``lax.ppermute``), so ICI traffic per
+  step is O(halo), not O(n).  This is the distributed pattern for stencil
+  operators (BASELINE config 5).
+* ``DistCSR`` / ``DistELL`` — general matrices; the operand is
+  ``lax.all_gather``-ed (each chip needs arbitrary columns).
+* Dot products in solvers reduce via GSPMD-inserted psum — the completed
+  version of the reference's unfinished mpsc gather.
+
+All dist formats are pytrees whose leading (block) axis is sharded, so they
+pass through jit/shard_map like any array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..formats.base import array_field, register_format, static_field
+from ..types import accum_dtype
+from .mesh import ROWS_AXIS
+
+
+def _pad_rows(n_rows: int, n_blocks: int) -> int:
+    return -(-n_rows // n_blocks) * n_blocks
+
+
+# --- DistDIA -----------------------------------------------------------------
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class DistDIA:
+    """Banded matrix, block-row partitioned.
+
+    ``data``: (n_blocks, n_diags, rows_per_block) — axis 0 sharded;
+    ``offsets``: static diagonal offsets; ``shape``: global (unpadded).
+    """
+
+    data: jax.Array = array_field()
+    offsets: Tuple[int, ...] = static_field()
+    shape: Tuple[int, int] = static_field()
+    axis: str = static_field()
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def rows_per_block(self) -> int:
+        return int(self.data.shape[2])
+
+    @property
+    def halo(self) -> int:
+        return max((abs(o) for o in self.offsets), default=0)
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_blocks * self.rows_per_block
+
+    def matvec(self, x: jax.Array, mesh: Mesh) -> jax.Array:
+        return dist_dia_spmv(self, x, mesh)
+
+    def padded_vector(self, v, mesh: Mesh) -> jax.Array:
+        """Pad a global vector to the block grid and shard it by rows."""
+        v = jnp.asarray(v)
+        pad = self.padded_rows - v.shape[0]
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+        return jax.device_put(v, NamedSharding(mesh, P(self.axis)))
+
+    def unpad(self, v: jax.Array) -> jax.Array:
+        return v[: self.shape[0]]
+
+
+def distribute_dia(dia, mesh: Mesh, axis: str = ROWS_AXIS) -> DistDIA:
+    """Partition a DIA matrix over the mesh (host-side).
+
+    ≈ SparseMatPar::with_sub_matrices (src/sparsemat_par.rs:20-28) with
+    n_blocks = mesh size; rows pad up to a block multiple."""
+    n_blocks = mesh.shape[axis]
+    n_rows, n_cols = dia.shape
+    padded = _pad_rows(n_rows, n_blocks)
+    data = np.asarray(dia.data)
+    if padded > n_rows:
+        data = np.concatenate(
+            [data, np.zeros((data.shape[0], padded - n_rows), data.dtype)], axis=1)
+    r = padded // n_blocks
+    blocks = data.reshape(data.shape[0], n_blocks, r).transpose(1, 0, 2)
+    sharded = jax.device_put(
+        jnp.asarray(blocks), NamedSharding(mesh, P(axis, None, None)))
+    return DistDIA(data=sharded, offsets=tuple(dia.offsets),
+                   shape=dia.shape, axis=axis)
+
+
+def dist_dia_spmv(mat: DistDIA, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """y = A @ x with halo exchange.  ``x`` must be the padded sharded vector
+    (see ``padded_vector``); returns the padded sharded result.
+
+    Out-of-band data slots are zero, so the wrap-around halo garbage at the
+    first/last block multiplies against zeros — no boundary masking needed.
+    """
+    h = mat.halo
+    r = mat.rows_per_block
+    n_blocks = mat.n_blocks
+    offsets = mat.offsets
+    axis = mat.axis
+    if h > r:
+        return _dist_dia_spmv_allgather(mat, x, mesh)
+
+    fwd = [(i, (i + 1) % n_blocks) for i in range(n_blocks)]
+    bwd = [(i, (i - 1) % n_blocks) for i in range(n_blocks)]
+
+    def local(data_blk, x_blk):
+        # data_blk: (1, nd, r); x_blk: (r,)
+        d = data_blk[0]
+        if h > 0 and n_blocks > 1:
+            left = jax.lax.ppermute(x_blk[r - h:], axis, fwd)   # from left nbr
+            right = jax.lax.ppermute(x_blk[:h], axis, bwd)      # from right nbr
+            x_ext = jnp.concatenate([left, x_blk, right])
+        elif h > 0:
+            x_ext = jnp.pad(x_blk, (h, h))
+        else:
+            x_ext = x_blk
+        adt = accum_dtype(jnp.result_type(d.dtype, x_blk.dtype))
+        y = jnp.zeros((r,), adt)
+        for k, off in enumerate(offsets):
+            y = y + d[k].astype(adt) * jax.lax.slice_in_dim(
+                x_ext.astype(adt), off + h, off + h + r)
+        return y
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis))(mat.data, x)
+
+
+def _dist_dia_spmv_allgather(mat: DistDIA, x: jax.Array, mesh: Mesh):
+    axis = mat.axis
+    r = mat.rows_per_block
+    offsets = mat.offsets
+    pr = mat.padded_rows
+
+    def local(data_blk, x_blk):
+        d = data_blk[0]
+        xg = jax.lax.all_gather(x_blk, axis, tiled=True)        # (padded_rows,)
+        blk = jax.lax.axis_index(axis)
+        base = blk * r
+        adt = accum_dtype(jnp.result_type(d.dtype, xg.dtype))
+        y = jnp.zeros((r,), adt)
+        for k, off in enumerate(offsets):
+            start = jnp.clip(base + off, -r, pr)  # dynamic but bounded
+            seg = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(xg.astype(adt), (r, r)), start + r, r)
+            y = y + d[k].astype(adt) * seg
+        return y
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis))(mat.data, x)
+
+
+# --- DistCSR / DistELL -------------------------------------------------------
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class DistCSR:
+    """General sparse matrix, block-row partitioned; column ids are GLOBAL.
+
+    ``indptr``: (n_blocks, rows_per_block+1); ``indices``/``data``/
+    ``local_rows``: (n_blocks, nnz_max) with per-block tail padding
+    (local_row = rows_per_block ⇒ dropped).
+    """
+
+    indptr: jax.Array = array_field()
+    indices: jax.Array = array_field()
+    data: jax.Array = array_field()
+    local_rows: jax.Array = array_field()
+    shape: Tuple[int, int] = static_field()
+    axis: str = static_field()
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.indptr.shape[0])
+
+    @property
+    def rows_per_block(self) -> int:
+        return int(self.indptr.shape[1]) - 1
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_blocks * self.rows_per_block
+
+    padded_vector = DistDIA.padded_vector
+    unpad = DistDIA.unpad
+
+    def matvec(self, x: jax.Array, mesh: Mesh) -> jax.Array:
+        return dist_csr_spmv(self, x, mesh)
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class DistELL:
+    """ELL blocks with global column ids: cols/vals (n_blocks, rpb, K)."""
+
+    cols: jax.Array = array_field()
+    vals: jax.Array = array_field()
+    shape: Tuple[int, int] = static_field()
+    axis: str = static_field()
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.cols.shape[0])
+
+    @property
+    def rows_per_block(self) -> int:
+        return int(self.cols.shape[1])
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_blocks * self.rows_per_block
+
+    padded_vector = DistDIA.padded_vector
+    unpad = DistDIA.unpad
+
+    def matvec(self, x: jax.Array, mesh: Mesh) -> jax.Array:
+        return dist_ell_spmv(self, x, mesh)
+
+
+def distribute_csr(csr, mesh: Mesh, axis: str = ROWS_AXIS,
+                   format: str = "csr"):
+    """Partition a CSR matrix into block rows over the mesh (host-side).
+    ``format='ell'`` produces DistELL blocks instead (regular layout)."""
+    n_blocks = mesh.shape[axis]
+    n_rows, n_cols = csr.shape
+    padded = _pad_rows(n_rows, n_blocks)
+    r = padded // n_blocks
+    indptr = np.asarray(csr.indptr, np.int64)
+    indices = np.asarray(csr.indices, np.int64)
+    data = np.asarray(csr.data)
+
+    if format == "ell":
+        counts = np.diff(indptr)
+        k = max(int(counts.max(initial=0)), 1)
+        cols_b = np.zeros((n_blocks, r, k), np.int32)
+        vals_b = np.zeros((n_blocks, r, k), data.dtype)
+        for b in range(n_blocks):
+            for li in range(r):
+                g = b * r + li
+                if g >= n_rows:
+                    break
+                s, e = indptr[g], indptr[g + 1]
+                cols_b[b, li, : e - s] = indices[s:e]
+                vals_b[b, li, : e - s] = data[s:e]
+        return DistELL(
+            cols=jax.device_put(jnp.asarray(cols_b),
+                                NamedSharding(mesh, P(axis, None, None))),
+            vals=jax.device_put(jnp.asarray(vals_b),
+                                NamedSharding(mesh, P(axis, None, None))),
+            shape=csr.shape, axis=axis)
+
+    block_nnz = [int(indptr[min((b + 1) * r, n_rows)] - indptr[min(b * r, n_rows)])
+                 for b in range(n_blocks)]
+    nnz_max = max(max(block_nnz), 1)
+    indptr_b = np.zeros((n_blocks, r + 1), np.int32)
+    indices_b = np.zeros((n_blocks, nnz_max), np.int32)
+    data_b = np.zeros((n_blocks, nnz_max), data.dtype)
+    lrows_b = np.full((n_blocks, nnz_max), r, np.int32)  # pad → dropped
+    for b in range(n_blocks):
+        lo = min(b * r, n_rows)
+        hi = min((b + 1) * r, n_rows)
+        s, e = indptr[lo], indptr[hi]
+        indices_b[b, : e - s] = indices[s:e]
+        data_b[b, : e - s] = data[s:e]
+        local_ptr = indptr[lo : hi + 1] - s
+        indptr_b[b, : hi - lo + 1] = local_ptr
+        indptr_b[b, hi - lo + 1 :] = local_ptr[-1]
+        lrows_b[b, : e - s] = np.repeat(
+            np.arange(hi - lo, dtype=np.int32), np.diff(indptr[lo : hi + 1]))
+    spec = NamedSharding(mesh, P(axis, None))
+    return DistCSR(
+        indptr=jax.device_put(jnp.asarray(indptr_b), spec),
+        indices=jax.device_put(jnp.asarray(indices_b), spec),
+        data=jax.device_put(jnp.asarray(data_b), spec),
+        local_rows=jax.device_put(jnp.asarray(lrows_b), spec),
+        shape=csr.shape, axis=axis)
+
+
+def dist_csr_spmv(mat: DistCSR, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """y = A @ x with an all-gathered operand (general column structure)."""
+    axis = mat.axis
+    r = mat.rows_per_block
+
+    def local(indices_blk, data_blk, lrows_blk, x_blk):
+        xg = jax.lax.all_gather(x_blk, axis, tiled=True)
+        adt = accum_dtype(jnp.result_type(data_blk.dtype, xg.dtype))
+        prod = data_blk[0].astype(adt) * xg.at[indices_blk[0]].get(
+            mode="fill", fill_value=0).astype(adt)
+        y = jnp.zeros((r,), adt)
+        return y.at[lrows_blk[0]].add(prod, mode="drop")
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(axis))(mat.indices, mat.data, mat.local_rows, x)
+
+
+def dist_ell_spmv(mat: DistELL, x: jax.Array, mesh: Mesh) -> jax.Array:
+    axis = mat.axis
+
+    def local(cols_blk, vals_blk, x_blk):
+        xg = jax.lax.all_gather(x_blk, axis, tiled=True)
+        adt = accum_dtype(jnp.result_type(vals_blk.dtype, xg.dtype))
+        gathered = xg.at[cols_blk[0]].get(mode="fill", fill_value=0)
+        return jnp.sum(vals_blk[0].astype(adt) * gathered.astype(adt), axis=1)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(axis)),
+        out_specs=P(axis))(mat.cols, mat.vals, x)

@@ -1,0 +1,331 @@
+"""Iterative linear solvers as jit-compiled ``lax.while_loop`` programs.
+
+Reference counterpart: the ``LinearSolver`` trait + unpreconditioned
+``ConjugateGradient`` (reference: src/linearsolver.rs:6-61) — the library's
+single solver, written against ``SparseMatrix::mvp``.  TPU-native redesign:
+
+* each solver is a pure function ``solve(A, b, x0) -> (x, SolveInfo)``;
+  the whole iteration compiles to one XLA program (no per-iteration host
+  round-trips, unlike the reference's per-iter allocations,
+  linearsolver.rs:47-49);
+* ``A`` may be any sparse format **or** a matvec callable, so the same
+  solver code runs single-chip or distributed (dots become psum collectives
+  when operands are sharded — SURVEY.md §3.5);
+* solvers report iterations/residual (the reference returns ``()`` and hides
+  both — SURVEY.md §5 observability gap) and never panic on divergence.
+
+Solver set: CG (reference parity), preconditioned CG, BiCGStab
+(nonsymmetric), Jacobi / weighted Jacobi, and Gauss-Seidel / SOR via a
+sequential scan sweep (latency-bound on TPU; provided for capability parity
+per BASELINE.json "Jacobi/Gauss-Seidel/CG-style").
+
+Dtypes are gated to floats, mirroring the ``FloatType`` bound on the trait
+(src/linearsolver.rs:6-10, src/types.rs:70-77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .types import is_float_dtype
+
+
+class SolveInfo(NamedTuple):
+    iterations: jax.Array        # iterations actually executed
+    residual_norm: jax.Array     # final ‖r‖
+    converged: jax.Array         # bool
+    residual_history: Optional[jax.Array] = None  # (maxiter,) padded with -1
+
+
+def _as_matvec(A) -> Callable:
+    if callable(A) and not hasattr(A, "shape"):
+        return A
+    if hasattr(A, "shape"):
+        if A.shape[0] != A.shape[1]:
+            # reference panics "Matrix is not symmetric" on this guard —
+            # which actually tests squareness (linearsolver.rs:30-32)
+            raise ValueError(f"solver requires a square matrix, got {A.shape}")
+        from .ops import spmv
+
+        return lambda v: spmv(A, v)
+    raise TypeError(f"cannot interpret {type(A)} as a linear operator")
+
+
+def _check_operands(A, b):
+    b = jnp.asarray(b)
+    if not is_float_dtype(b.dtype):
+        raise TypeError(
+            f"solvers require a float dtype (FloatType gate), got {b.dtype}")
+    if hasattr(A, "shape") and b.shape[0] != A.shape[0]:
+        raise ValueError(
+            f"dimension mismatch: matrix {A.shape}, rhs {b.shape}")
+    return b
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)  # sharded operands → XLA inserts the psum
+
+
+# --- Conjugate Gradient ------------------------------------------------------
+
+def cg(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
+       maxiter: int = 10_000, M=None, record_history: bool = False):
+    """Conjugate Gradient (≈ ConjugateGradient::solve,
+    src/linearsolver.rs:27-61; defaults tol=1e-12, maxiter=10000 match
+    linearsolver.rs:17-24).
+
+    Convergence: ‖r‖ < max(tol, rtol·‖b‖) — the reference uses absolute
+    tol only.  ``M``: optional preconditioner (callable z = M(r), or a
+    Preconditioner object) → standard PCG.
+    """
+    b = _check_operands(A, b)
+    matvec = _as_matvec(A)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    precond = M.apply if hasattr(M, "apply") else M
+
+    threshold = jnp.maximum(jnp.asarray(tol, b.dtype),
+                            rtol * jnp.sqrt(_dot(b, b)).astype(b.dtype))
+    thresh2 = threshold * threshold
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0) if precond is not None else r0
+    p0 = z0
+    rz0 = _dot(r0, z0)
+    rr0 = _dot(r0, r0)
+    hist0 = (jnp.full((maxiter,), -1.0, b.dtype) if record_history else None)
+
+    def cond(state):
+        _, _, _, _, rr, k, _ = state
+        return (k < maxiter) & (rr >= thresh2)
+
+    def body(state):
+        x, r, p, rz, rr, k, hist = state
+        Ap = matvec(p)
+        pAp = _dot(p, Ap)
+        # guarded divisions: a breakdown (pAp = 0, e.g. singular/indefinite
+        # operator) stalls instead of poisoning the state with NaN — the
+        # loop then runs to maxiter and reports converged=False
+        alpha = jnp.where(pAp != 0, rz / pAp, 0)       # linearsolver.rs:43-45
+        x = x + alpha * p                              # :47
+        r = r - alpha * Ap                             # :49
+        z = precond(r) if precond is not None else r
+        rz_new = _dot(r, z)
+        rr_new = _dot(r, r)
+        beta = jnp.where(rz != 0, rz_new / rz, 0)      # :56
+        p = z + beta * p                               # :58-59
+        if hist is not None:
+            hist = hist.at[k].set(jnp.sqrt(rr_new))
+        return (x, r, p, rz_new, rr_new, k + 1, hist)
+
+    state = (x0, r0, p0, rz0, rr0, jnp.zeros((), jnp.int32), hist0)
+    x, r, _, _, rr, k, hist = jax.lax.while_loop(cond, body, state)
+    res = jnp.sqrt(rr)
+    return x, SolveInfo(iterations=k, residual_norm=res,
+                        converged=res < threshold, residual_history=hist)
+
+
+# --- BiCGStab (nonsymmetric systems) ----------------------------------------
+
+def bicgstab(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
+             maxiter: int = 10_000, M=None):
+    """Biconjugate gradient stabilized — capability extension beyond the
+    reference's CG-only solver layer (the ``LinearSolver`` trait is
+    solver-shaped but has one impl, SURVEY.md §2 #12)."""
+    b = _check_operands(A, b)
+    matvec = _as_matvec(A)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    precond = (M.apply if hasattr(M, "apply") else M) or (lambda v: v)
+
+    threshold = jnp.maximum(jnp.asarray(tol, b.dtype),
+                            rtol * jnp.sqrt(_dot(b, b)).astype(b.dtype))
+
+    r0 = b - matvec(x0)
+    rhat = r0
+    state = dict(x=x0, r=r0, p=r0, v=jnp.zeros_like(b),
+                 rho=_dot(rhat, r0), alpha=jnp.ones((), b.dtype),
+                 omega=jnp.ones((), b.dtype), k=jnp.zeros((), jnp.int32),
+                 rr=_dot(r0, r0))
+
+    def cond(s):
+        return (s["k"] < maxiter) & (jnp.sqrt(s["rr"]) >= threshold)
+
+    def body(s):
+        phat = precond(s["p"])
+        v = matvec(phat)
+        rv = _dot(rhat, v)
+        alpha = jnp.where(rv != 0, s["rho"] / rv, 0)
+        h = s["x"] + alpha * phat
+        sres = s["r"] - alpha * v
+        shat = precond(sres)
+        t = matvec(shat)
+        tt = _dot(t, t)
+        omega = jnp.where(tt > 0, _dot(t, sres) / tt, 0.0)
+        x = h + omega * shat
+        r = sres - omega * t
+        rho_new = _dot(rhat, r)
+        beta = jnp.where(
+            (s["rho"] != 0) & (omega != 0),
+            (rho_new / s["rho"]) * (alpha / omega), 0)
+        p = r + beta * (s["p"] - omega * v)
+        return dict(x=x, r=r, p=p, v=v, rho=rho_new, alpha=alpha,
+                    omega=omega, k=s["k"] + 1, rr=_dot(r, r))
+
+    out = jax.lax.while_loop(cond, body, state)
+    res = jnp.sqrt(out["rr"])
+    return out["x"], SolveInfo(iterations=out["k"], residual_norm=res,
+                               converged=res < threshold)
+
+
+# --- Jacobi ------------------------------------------------------------------
+
+def jacobi(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
+           maxiter: int = 10_000, omega: float = 1.0):
+    """(Weighted) Jacobi iteration: x ← x + ω D⁻¹ (b − A x)."""
+    b = _check_operands(A, b)
+    matvec = _as_matvec(A)
+    if not hasattr(A, "to_csr"):
+        raise TypeError("jacobi needs a sparse format (for its diagonal)")
+    d = A.to_csr().diagonal().astype(b.dtype)
+    dinv = jnp.where(d != 0, 1.0 / d, 0.0)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+
+    threshold = jnp.maximum(jnp.asarray(tol, b.dtype),
+                            rtol * jnp.sqrt(_dot(b, b)).astype(b.dtype))
+
+    def cond(s):
+        x, rr, k = s
+        return (k < maxiter) & (rr >= threshold * threshold)
+
+    def body(s):
+        x, _, k = s
+        r = b - matvec(x)
+        x = x + omega * dinv * r
+        return (x, _dot(r, r), k + 1)
+
+    x, rr, k = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(jnp.inf, b.dtype), jnp.zeros((), jnp.int32)))
+    res = jnp.sqrt(rr)
+    return x, SolveInfo(iterations=k, residual_norm=res,
+                        converged=res < threshold)
+
+
+# --- Gauss-Seidel / SOR ------------------------------------------------------
+
+def sor(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
+        maxiter: int = 1_000, omega: float = 1.0):
+    """Successive over-relaxation (ω = 1 → Gauss-Seidel).
+
+    Each sweep is a sequential ``lax.scan`` over rows in ELL layout — the
+    update for row i reads already-updated x entries.  This is inherently
+    latency-bound on TPU (the VPU sits idle between rows); it exists for
+    capability parity and as a smoother.  Prefer ``jacobi``/``cg`` for speed.
+    """
+    b = _check_operands(A, b)
+    if not hasattr(A, "to_ell"):
+        raise TypeError("sor needs a sparse format")
+    ell = A.to_ell()
+    n = ell.shape[0]
+    cols = ell.cols[:n].astype(jnp.int32)
+    vals = ell.vals[:n].astype(b.dtype)
+    k_slots = jnp.arange(ell.n_cols_per_row, dtype=jnp.int32)
+    valid = k_slots[None, :] < ell.row_nnz[:n, None].astype(jnp.int32)
+    vals = jnp.where(valid, vals, 0)
+    diag = A.to_csr().diagonal().astype(b.dtype)
+    dinv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+
+    threshold = jnp.maximum(jnp.asarray(tol, b.dtype),
+                            rtol * jnp.sqrt(_dot(b, b)).astype(b.dtype))
+    from .ops import spmv
+
+    def sweep(x):
+        def row_update(x, i):
+            row_cols = cols[i]
+            row_vals = vals[i]
+            s = jnp.sum(row_vals * x[row_cols])          # includes a_ii x_i
+            xi = x[i]
+            s = s - diag[i] * xi                          # off-diagonal sum
+            new_xi = (1 - omega) * xi + omega * dinv[i] * (b[i] - s)
+            return x.at[i].set(new_xi), None
+
+        x, _ = jax.lax.scan(row_update, x, jnp.arange(n))
+        return x
+
+    def cond(s):
+        x, rr, k = s
+        return (k < maxiter) & (rr >= threshold * threshold)
+
+    def body(s):
+        x, _, k = s
+        x = sweep(x)
+        r = b - spmv(A, x)
+        return (x, _dot(r, r), k + 1)
+
+    x, rr, k = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(jnp.inf, b.dtype), jnp.zeros((), jnp.int32)))
+    res = jnp.sqrt(rr)
+    return x, SolveInfo(iterations=k, residual_norm=res,
+                        converged=res < threshold)
+
+
+def gauss_seidel(A, b, x0=None, **kw):
+    return sor(A, b, x0, omega=1.0, **kw)
+
+
+# --- preconditioners ---------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class JacobiPreconditioner:
+    """M⁻¹ = D⁻¹ — the cheapest useful preconditioner."""
+
+    dinv: jax.Array
+
+    @classmethod
+    def from_matrix(cls, A) -> "JacobiPreconditioner":
+        d = A.to_csr().diagonal()
+        return cls(dinv=jnp.where(d != 0, 1.0 / d, 0.0))
+
+    def apply(self, r):
+        return self.dinv.astype(r.dtype) * r
+
+
+# --- class-style API parity with the reference trait -------------------------
+
+@dataclasses.dataclass
+class ConjugateGradient:
+    """Object-style wrapper matching the reference's struct + Default
+    (src/linearsolver.rs:12-24: tol=1e-12, iter_max=10000)."""
+
+    tol: float = 1e-12
+    iter_max: int = 10_000
+
+    def solve(self, mat, b, x=None):
+        """Returns the solution (the reference mutates x in place and
+        returns (); we return (x, info) — info was invisible there)."""
+        return cg(mat, jnp.asarray(b), x0=x, tol=self.tol, maxiter=self.iter_max)
+
+
+@dataclasses.dataclass
+class Jacobi:
+    tol: float = 1e-12
+    iter_max: int = 10_000
+    omega: float = 1.0
+
+    def solve(self, mat, b, x=None):
+        return jacobi(mat, jnp.asarray(b), x0=x, tol=self.tol,
+                      maxiter=self.iter_max, omega=self.omega)
+
+
+@dataclasses.dataclass
+class BiCGStab:
+    tol: float = 1e-12
+    iter_max: int = 10_000
+
+    def solve(self, mat, b, x=None):
+        return bicgstab(mat, jnp.asarray(b), x0=x, tol=self.tol,
+                        maxiter=self.iter_max)

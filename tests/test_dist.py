@@ -1,0 +1,117 @@
+"""Distribution layer tests on the 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8) — the multi-chip codepaths the
+reference's SparseMatPar never finished (src/sparsemat_par.rs:37-68)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import sparsemat_tpu as smt
+from sparsemat_tpu import parallel, solvers
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    return parallel.make_mesh(8)
+
+
+def poisson1d(n, dtype=np.float64):
+    return sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                    [0, 1, -1], format="csr").astype(dtype)
+
+
+def random_banded(n, offsets, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    return sp.diags([rng.standard_normal(n - abs(o)).astype(dtype) for o in offsets],
+                    offsets, shape=(n, n), format="csr")
+
+
+def test_dist_dia_spmv_halo(mesh8):
+    # halo-exchange path: offsets ≪ rows_per_block
+    mat = random_banded(240, [-3, -1, 0, 1, 3])
+    A = smt.CSR.from_scipy(mat).to_dia()
+    dA = parallel.distribute_dia(A, mesh8)
+    assert dA.n_blocks == 8
+    x = np.random.default_rng(1).standard_normal(240).astype(np.float32)
+    xs = dA.padded_vector(x, mesh8)
+    y = dA.unpad(dA.matvec(xs, mesh8))
+    np.testing.assert_allclose(np.asarray(y), mat @ x, rtol=2e-5)
+
+
+def test_dist_dia_spmv_uneven_rows(mesh8):
+    # 237 rows over 8 blocks → padding rows in the last block
+    mat = random_banded(237, [-2, 0, 2])
+    A = smt.CSR.from_scipy(mat).to_dia()
+    dA = parallel.distribute_dia(A, mesh8)
+    x = np.random.default_rng(2).standard_normal(237).astype(np.float32)
+    y = dA.unpad(dA.matvec(dA.padded_vector(x, mesh8), mesh8))
+    np.testing.assert_allclose(np.asarray(y), mat @ x, rtol=2e-5)
+
+
+def test_dist_dia_spmv_allgather_fallback(mesh8):
+    # halo wider than rows_per_block (16) → all-gather path
+    mat = random_banded(128, [-40, 0, 40])
+    A = smt.CSR.from_scipy(mat).to_dia()
+    dA = parallel.distribute_dia(A, mesh8)
+    assert dA.halo > dA.rows_per_block
+    x = np.random.default_rng(3).standard_normal(128).astype(np.float32)
+    y = dA.unpad(dA.matvec(dA.padded_vector(x, mesh8), mesh8))
+    np.testing.assert_allclose(np.asarray(y), mat @ x, rtol=2e-5)
+
+
+@pytest.mark.parametrize("format", ["csr", "ell"])
+def test_dist_csr_ell_spmv(mesh8, format):
+    rng = np.random.default_rng(4)
+    mat = sp.random(300, 300, density=0.05, random_state=rng, format="csr",
+                    dtype=np.float64)
+    A = smt.CSR.from_scipy(mat)
+    dA = parallel.distribute_csr(A, mesh8, format=format)
+    x = rng.standard_normal(300)
+    y = dA.unpad(dA.matvec(dA.padded_vector(x, mesh8), mesh8))
+    np.testing.assert_allclose(np.asarray(y), mat @ x, rtol=1e-10)
+
+
+def test_dist_spmv_under_jit(mesh8):
+    # the dist matvec must compose with jit (it is the CG building block)
+    mat = random_banded(240, [-1, 0, 1])
+    dA = parallel.distribute_dia(smt.CSR.from_scipy(mat).to_dia(), mesh8)
+    x = np.random.default_rng(5).standard_normal(240).astype(np.float32)
+    xs = dA.padded_vector(x, mesh8)
+    f = jax.jit(lambda m, v: m.matvec(v, mesh8))
+    y = f(dA, xs)
+    np.testing.assert_allclose(np.asarray(dA.unpad(y)), mat @ x, rtol=2e-5)
+
+
+def test_distributed_cg_poisson(mesh8):
+    # BASELINE config 5 scaled down: distributed CG on a stencil matrix,
+    # halo exchange inside the matvec, psum-reduced dots via GSPMD
+    n = 4096
+    mat = poisson1d(n)
+    A = smt.CSR.from_scipy(mat).to_dia()
+    dA = parallel.distribute_dia(A, mesh8)
+    rng = np.random.default_rng(6)
+    x_true = rng.standard_normal(n)
+    b = mat @ x_true
+    bs = dA.padded_vector(b, mesh8)
+    x, info = solvers.cg(lambda v: dA.matvec(v, mesh8), bs, tol=1e-10,
+                         maxiter=20000)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(dA.unpad(x)), x_true, atol=1e-6)
+
+
+def test_distributed_matches_single_device(mesh8):
+    # mesh-shape invariance: 1-block and 8-block results agree bit-for-bit
+    # (deterministic reduction order within each block; SURVEY §5 race-detection
+    # stand-in: determinism tests per mesh shape)
+    mat = random_banded(240, [-5, -1, 0, 1, 5], dtype=np.float32)
+    A = smt.CSR.from_scipy(mat).to_dia()
+    x = np.random.default_rng(7).standard_normal(240).astype(np.float32)
+    mesh1 = parallel.make_mesh(1)
+    d1 = parallel.distribute_dia(A, mesh1)
+    y1 = np.asarray(d1.unpad(d1.matvec(d1.padded_vector(x, mesh1), mesh1)))
+    d8 = parallel.distribute_dia(A, mesh8)
+    y8 = np.asarray(d8.unpad(d8.matvec(d8.padded_vector(x, mesh8), mesh8)))
+    np.testing.assert_array_equal(y1, y8)

@@ -1,0 +1,156 @@
+"""Solver suite.  Golden anchor: check_cg (reference src/lib.rs:37-52) —
+CG on A=[[4,1],[1,3]], b=[1,2], x0=[2,1] converges to x=[1/11, 7/11];
+the reference asserts floor(x0·1e4)/1e4 == 0.0909."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import sparsemat_tpu as smt
+from sparsemat_tpu import solvers
+
+
+def golden_system():
+    A = smt.from_dense(np.array([[4.0, 1.0], [1.0, 3.0]], np.float64))
+    b = jnp.array([1.0, 2.0], jnp.float64)
+    x0 = jnp.array([2.0, 1.0], jnp.float64)
+    return A, b, x0
+
+
+def poisson2d(n, dtype=np.float64):
+    m = n * n
+    lap = sp.diags(
+        [4.0 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1),
+         -np.ones(m - n), -np.ones(m - n)],
+        [0, 1, -1, n, -n], format="csr").astype(dtype)
+    # zero the wrap-around couplings at row boundaries
+    lil = lap.tolil()
+    for k in range(1, n):
+        lil[k * n, k * n - 1] = 0
+        lil[k * n - 1, k * n] = 0
+    out = lil.tocsr()
+    out.eliminate_zeros()
+    return out
+
+
+def test_cg_golden():
+    A, b, x0 = golden_system()
+    x, info = solvers.cg(A, b, x0)
+    # the reference's exact assertion (src/lib.rs:51)
+    assert np.floor(float(x[0]) * 10000) / 10000 == 0.0909
+    np.testing.assert_allclose(np.asarray(x), [1 / 11, 7 / 11], atol=1e-10)
+    assert bool(info.converged)
+    assert int(info.iterations) <= 10  # 2×2 SPD: converges in ≤2 in exact arithmetic
+
+
+def test_cg_class_api_defaults():
+    # defaults mirror linearsolver.rs:17-24
+    cgobj = smt.ConjugateGradient()
+    assert cgobj.tol == 1e-12
+    assert cgobj.iter_max == 10_000
+    A, b, x0 = golden_system()
+    x, info = cgobj.solve(A, b, x0)
+    np.testing.assert_allclose(np.asarray(x), [1 / 11, 7 / 11], atol=1e-10)
+
+
+def test_cg_poisson_f64():
+    # BASELINE config 3 (scaled down): 2D 5-point Poisson, f64, 1e-8 residual
+    lap = poisson2d(24)
+    A = smt.CSR.from_scipy(lap, index_dtype=jnp.int32)
+    rng = np.random.default_rng(7)
+    x_true = rng.standard_normal(lap.shape[0])
+    b = jnp.asarray(lap @ x_true)
+    x, info = solvers.cg(A, b, tol=1e-8)
+    assert bool(info.converged)
+    assert float(info.residual_norm) < 1e-8
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-6)
+
+
+def test_cg_matvec_callable():
+    # solver accepts a raw matvec closure (needed by the distributed layer)
+    lap = poisson2d(8)
+    dense = jnp.asarray(lap.toarray())
+    b = jnp.ones(lap.shape[0])
+    x, info = solvers.cg(lambda v: dense @ v, b, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(dense @ x), np.asarray(b), atol=1e-8)
+
+
+def test_pcg_jacobi_preconditioner():
+    lap = poisson2d(16)
+    # scale rows to make Jacobi preconditioning actually matter
+    d = sp.diags(np.linspace(1, 100, lap.shape[0]))
+    mat = (d @ lap @ d).tocsr()
+    A = smt.CSR.from_scipy(mat)
+    b = jnp.ones(mat.shape[0])
+    M = smt.JacobiPreconditioner.from_matrix(A)
+    x_p, info_p = solvers.cg(A, b, tol=1e-10, M=M)
+    x_n, info_n = solvers.cg(A, b, tol=1e-10)
+    assert bool(info_p.converged)
+    np.testing.assert_allclose(np.asarray(mat @ np.asarray(x_p)), 1.0, atol=1e-7)
+    assert int(info_p.iterations) < int(info_n.iterations)
+
+
+def test_cg_residual_history():
+    A, b, x0 = golden_system()
+    x, info = solvers.cg(A, b, x0, maxiter=50, record_history=True)
+    hist = np.asarray(info.residual_history)
+    assert hist.shape == (50,)
+    used = hist[hist >= 0]
+    assert used.size == int(info.iterations)
+    assert used[-1] < 1e-12
+
+
+def test_jacobi():
+    lap = poisson2d(8)
+    A = smt.CSR.from_scipy(lap)
+    b = jnp.ones(lap.shape[0])
+    x, info = solvers.jacobi(A, b, tol=1e-9, maxiter=20_000)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(lap @ np.asarray(x)), 1.0, atol=1e-6)
+
+
+def test_gauss_seidel():
+    lap = poisson2d(6)
+    A = smt.CSR.from_scipy(lap)
+    b = jnp.ones(lap.shape[0])
+    x, info = solvers.gauss_seidel(A, b, tol=1e-9, maxiter=2_000)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(lap @ np.asarray(x)), 1.0, atol=1e-6)
+    # SOR with ω≈1.5 should beat plain GS on Poisson
+    _, info_sor = solvers.sor(A, b, tol=1e-9, maxiter=2_000, omega=1.5)
+    assert int(info_sor.iterations) < int(info.iterations)
+
+
+def test_bicgstab_nonsymmetric():
+    rng = np.random.default_rng(3)
+    n = 80
+    m = sp.random(n, n, density=0.1, random_state=rng, format="csr")
+    m = m + sp.diags(10.0 * np.ones(n))  # diagonally dominant
+    A = smt.CSR.from_scipy(m)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, info = solvers.bicgstab(A, b, tol=1e-10)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(m @ np.asarray(x)), np.asarray(b), atol=1e-7)
+
+
+def test_solver_guards():
+    rect = smt.from_dense(np.ones((2, 3)))
+    with pytest.raises(ValueError, match="square"):
+        solvers.cg(rect, jnp.ones(2))
+    A, b, _ = golden_system()
+    with pytest.raises(ValueError, match="mismatch"):
+        solvers.cg(A, jnp.ones(5))
+    with pytest.raises(TypeError, match="float"):
+        solvers.cg(A, jnp.array([1, 2], jnp.int32))
+
+
+def test_divergence_reports_not_raises():
+    # singular, inconsistent system: CG stagnates; must report converged=False
+    # with a finite residual, not panic or NaN-poison the state
+    # (reference would just spin to iter_max with no report at all)
+    A = smt.from_dense(np.array([[1.0, 0.0], [0.0, 0.0]], np.float64))
+    x, info = solvers.cg(A, jnp.array([0.0, 1.0]), maxiter=5, tol=1e-30)
+    assert not bool(info.converged)
+    assert int(info.iterations) == 5
+    assert np.isfinite(float(info.residual_norm))
