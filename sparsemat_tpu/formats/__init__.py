@@ -21,8 +21,10 @@ from .csr import CSR
 from .dia import DIA
 from .ell import ELL
 from .sell import SELL
+from .well import WELL
 
-__all__ = ["SparseFormat", "COO", "CSR", "DIA", "ELL", "SELL", "auto_format"]
+__all__ = ["SparseFormat", "COO", "CSR", "DIA", "ELL", "SELL", "WELL",
+           "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):

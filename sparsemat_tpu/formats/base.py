@@ -74,6 +74,11 @@ class SparseFormat:
 
         return DIA.from_csr(self.to_csr())
 
+    def to_well(self, k_tile: int | None = None):
+        from .well import WELL
+
+        return WELL.from_csr(self.to_csr(), k_tile=k_tile)
+
     @property
     def n_rows(self) -> int:
         return self.shape[0]

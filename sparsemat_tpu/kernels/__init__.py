@@ -1,0 +1,11 @@
+"""Pallas TPU kernels — the tuned compute path.
+
+The generic ops in sparsemat_tpu.ops are pure XLA; these kernels replace
+them where XLA's lowering is weak on TPU (arbitrary gathers/scatters are
+serialized).  Each kernel has an XLA reference implementation used for
+interpret-mode tests and as a CPU fallback.
+"""
+
+from .spmv import spmv_pallas, well_spmv_pallas, well_spmv_xla
+
+__all__ = ["spmv_pallas", "well_spmv_pallas", "well_spmv_xla"]

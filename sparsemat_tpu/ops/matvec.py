@@ -27,6 +27,11 @@ from ..formats.ell import ELL
 from ..types import accum_dtype
 
 
+def _on_tpu() -> bool:
+    d = jax.devices()[0]
+    return "tpu" in d.platform.lower() or "TPU" in getattr(d, "device_kind", "")
+
+
 def _check_dims(mat, x, what="spmv"):
     if x.shape[0] != mat.shape[1]:
         raise ValueError(
@@ -82,9 +87,23 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
         from ..kernels.spmv import spmv_pallas
 
         return spmv_pallas(mat, x)
-    if isinstance(mat, DIA) or method == "dia":
+    if isinstance(mat, DIA) or method in ("dia", "dia_xla"):
         dia = mat if isinstance(mat, DIA) else mat.to_dia()
+        if (_on_tpu() and dia.data.dtype == jnp.float32
+                and x.dtype == jnp.float32 and method != "dia_xla"):
+            from ..kernels.dia import dia_spmv_pallas
+
+            return dia_spmv_pallas(dia, x)
         return dia_spmv(dia, x)
+    from ..formats.well import WELL
+
+    if isinstance(mat, WELL) or method == "well":
+        from ..kernels.spmv import well_spmv_pallas, well_spmv_xla
+
+        well = mat if isinstance(mat, WELL) else mat.to_well()
+        if _on_tpu():
+            return well_spmv_pallas(well, x)
+        return well_spmv_xla(well, x)
     if isinstance(mat, ELL) or method == "ell":
         ell = mat if isinstance(mat, ELL) else mat.to_ell()
         return _ell_spmv(ell, x)
