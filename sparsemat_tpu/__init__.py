@@ -19,12 +19,14 @@ TPU/XLA:
 from . import formats, ops, solvers, vectors
 from .builder import PartitionedBuilder, SparseBuilder
 from .solvers import BiCGStab, ConjugateGradient, Jacobi, JacobiPreconditioner, SolveInfo
-from .formats import COO, CSR, DIA, ELL, SELL, SparseFormat, auto_format
+from .formats import COO, CSR, DIA, ELL, SELL, WELL, RowVec, SparseFormat, auto_format
 from .ops import (
     DimensionError,
     add,
     extract_row,
     inner_prod,
+    is_sorted,
+    is_sorted_row,
     is_symmetric,
     rmatvec,
     spgemm,
@@ -38,13 +40,15 @@ from .vectors import DenseVec, SparseVec, norm, norm_squared
 __version__ = "0.1.0"
 
 __all__ = [
-    "COO", "CSR", "DIA", "ELL", "SELL", "SparseFormat", "auto_format",
+    "COO", "CSR", "DIA", "ELL", "RowVec", "SELL", "WELL", "SparseFormat",
+    "auto_format",
     "SparseBuilder", "PartitionedBuilder",
     "ConjugateGradient", "Jacobi", "BiCGStab", "JacobiPreconditioner",
     "SolveInfo", "solvers",
     "DimensionError",
     "spmv", "spmm", "spgemm", "rmatvec",
-    "add", "sub", "transpose", "inner_prod", "is_symmetric", "extract_row",
+    "add", "sub", "transpose", "inner_prod", "is_symmetric",
+    "is_sorted", "is_sorted_row", "extract_row",
     "DenseVec", "SparseVec", "norm", "norm_squared",
     "formats", "ops", "vectors",
 ]

@@ -10,9 +10,9 @@ Format map vs the reference (see SURVEY.md §2):
 * ``SELL`` — sliced ELL for skewed nnz/row distributions.
 * ``BSR``  — blocked rows for MXU matmuls (SpMM path).
 
-The ragged ``SparseMatRowVec`` (src/sparsemat_rowvec.rs) has no device
-equivalent — ragged per-row Vecs cannot be a static-shape device layout; its
-capability (per-row access during assembly) lives in the host-side builder.
+The ragged ``SparseMatRowVec`` (src/sparsemat_rowvec.rs) cannot be a
+static-shape *device* layout; its API parity lives in the host-side
+``RowVec`` (formats/rowvec.py) which freezes to CSR/COO for compute.
 """
 
 from .base import SparseFormat
@@ -20,11 +20,12 @@ from .coo import COO
 from .csr import CSR
 from .dia import DIA
 from .ell import ELL
+from .rowvec import RowVec
 from .sell import SELL
 from .well import WELL
 
-__all__ = ["SparseFormat", "COO", "CSR", "DIA", "ELL", "SELL", "WELL",
-           "auto_format"]
+__all__ = ["SparseFormat", "COO", "CSR", "DIA", "ELL", "RowVec", "SELL",
+           "WELL", "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):

@@ -7,6 +7,8 @@ from .algebra import (
     add,
     extract_row,
     inner_prod,
+    is_sorted,
+    is_sorted_row,
     is_symmetric,
     spgemm,
     sub,
@@ -22,6 +24,8 @@ __all__ = [
     "spgemm",
     "inner_prod",
     "is_symmetric",
+    "is_sorted",
+    "is_sorted_row",
     "extract_row",
     "spmv",
     "spmm",

@@ -172,3 +172,32 @@ def is_symmetric(a, *, rtol=0.0, atol=0.0) -> jax.Array:
 def extract_row(mat, i):
     """Row i as a SparseVec (≈ SparseMatrix::get_row, src/sparsematrix.rs:272-280)."""
     return mat.to_csr().get_row(i)
+
+
+def is_sorted_row(mat, i) -> jax.Array:
+    """Columns of row i strictly ascending (≈ SparseMatrix::is_sorted_row,
+    src/sparsematrix.rs:249-258)."""
+    csr = mat.to_csr()
+    k = jnp.arange(csr.nse)
+    start, end = csr.indptr[i], csr.indptr[i + 1]
+    interior = (k >= start) & (k + 1 < end)
+    cols = csr.indices.astype(jnp.int32)
+    ascending = cols < jnp.roll(cols, -1)
+    return jnp.all(jnp.where(interior, ascending, True))
+
+
+def is_sorted(mat) -> jax.Array:
+    """All rows column-sorted (≈ SparseMatrix::is_sorted,
+    src/sparsematrix.rs:261-269).  Frozen formats produced by this library
+    are canonically sorted; this verifies externally-constructed arrays."""
+    csr = mat.to_csr()
+    nse = csr.nse
+    if nse <= 1:
+        return jnp.asarray(True)
+    cols = csr.indices.astype(jnp.int32)
+    rows = csr.row_ids.astype(jnp.int32)
+    k = jnp.arange(nse)
+    same_row = (rows == jnp.roll(rows, -1)) & (k + 1 < nse) & (
+        k + 1 < csr.indptr[-1])
+    ascending = cols < jnp.roll(cols, -1)
+    return jnp.all(jnp.where(same_row, ascending, True))
