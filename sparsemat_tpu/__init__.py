@@ -19,7 +19,9 @@ TPU/XLA:
 from . import formats, ops, solvers, vectors
 from .builder import PartitionedBuilder, SparseBuilder
 from .solvers import BiCGStab, ConjugateGradient, Jacobi, JacobiPreconditioner, SolveInfo
-from .formats import COO, CSR, DIA, ELL, SELL, WELL, RowVec, SparseFormat, auto_format
+from .formats import (
+    BSR, COO, CSR, DIA, ELL, SELL, WELL, RowVec, SparseFormat, auto_format,
+)
 from .ops import (
     DimensionError,
     add,
@@ -40,8 +42,8 @@ from .vectors import DenseVec, SparseVec, norm, norm_squared
 __version__ = "0.1.0"
 
 __all__ = [
-    "COO", "CSR", "DIA", "ELL", "RowVec", "SELL", "WELL", "SparseFormat",
-    "auto_format",
+    "BSR", "COO", "CSR", "DIA", "ELL", "RowVec", "SELL", "WELL",
+    "SparseFormat", "auto_format",
     "SparseBuilder", "PartitionedBuilder",
     "ConjugateGradient", "Jacobi", "BiCGStab", "JacobiPreconditioner",
     "SolveInfo", "solvers",

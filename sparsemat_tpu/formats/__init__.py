@@ -16,6 +16,7 @@ static-shape *device* layout; its API parity lives in the host-side
 """
 
 from .base import SparseFormat
+from .bsr import BSR
 from .coo import COO
 from .csr import CSR
 from .dia import DIA
@@ -24,8 +25,8 @@ from .rowvec import RowVec
 from .sell import SELL
 from .well import WELL
 
-__all__ = ["SparseFormat", "COO", "CSR", "DIA", "ELL", "RowVec", "SELL",
-           "WELL", "auto_format"]
+__all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "RowVec",
+           "SELL", "WELL", "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):

@@ -1,0 +1,166 @@
+"""BSR — block-sparse rows: the MXU format for SpMM.
+
+No reference counterpart (the reference's SpGEMM/SpMM story is a serial
+dense column sweep, src/sparsematrix.rs:186-210).  Motivation: on TPU the
+FLOPs live in the 128×128 MXU systolic array, which only eats *dense* tiles.
+BSR stores the nonzero (BR × BC) blocks of the matrix densely, so
+``Y = A @ B`` becomes one MXU matmul per stored block per B-column tile —
+the classic block-sparse matmul — with zero gather/scatter in the inner
+loop.  The win over the gather-based ELL/CSR SpMM paths grows with block
+density; for matrices with genuine block structure (FEM, multi-DOF meshes —
+e.g. the SuiteSparse pwtk/cant configs in BASELINE.md) this is the
+speed-of-light path.
+
+Layout:
+* ``blocks``:     (T, BR, BC) dense values (zero-filled);
+* ``block_rows``: (T,) block-row id per tile, sorted ascending — the SpMM
+  kernel revisits an output block while consecutive tiles share it;
+* ``block_cols``: (T,) block-column id per tile.
+
+BR defaults to 8 (f32 sublane count), BC to 128 (lane count) so each block
+is exactly one f32 VMEM tile and each SpMM step is an (8×128)@(128×N)
+MXU contraction over the native 128-deep axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import SparseFormat, array_field, register_format, static_field
+
+BLOCK_ROWS = 8     # f32 sublane count
+BLOCK_COLS = 128   # lane count
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class BSR(SparseFormat):
+    """Frozen block-sparse-row matrix (host-built)."""
+
+    blocks: jax.Array = array_field()
+    block_rows: jax.Array = array_field()
+    block_cols: jax.Array = array_field()
+    shape: Tuple[int, int] = static_field()
+
+    @classmethod
+    def from_csr(cls, csr, br: int = BLOCK_ROWS, bc: int = BLOCK_COLS) -> "BSR":
+        """Host-side freeze: bucket entries into (br × bc) blocks, keep the
+        nonempty ones.  Every block-row gets ≥1 tile (all-zero if needed) so
+        the SpMM kernel's first-visit zeroing covers the whole output."""
+        if br % 8 or bc % 128:
+            raise ValueError(f"block shape ({br},{bc}) must be (8k, 128k) "
+                             "to align with TPU tiles")
+        n_rows, n_cols = csr.shape
+        indptr = np.asarray(csr.indptr, np.int64)
+        indices = np.asarray(csr.indices, np.int64)
+        data = np.asarray(csr.data)
+        nnz = int(indptr[-1])
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr))[:nnz]
+        cols = indices[:nnz]
+        vals = data[:nnz]
+
+        brow = rows // br
+        bcol = cols // bc
+        n_bc = max(-(-n_cols // bc), 1)
+        key = brow * n_bc + bcol
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        start = np.ones(nnz, bool)
+        start[1:] = key_s[1:] != key_s[:-1]
+        tid = np.cumsum(start) - 1
+        n_tiles = int(tid[-1]) + 1 if nnz else 0
+
+        blocks = np.zeros((max(n_tiles, 1), br, bc), data.dtype)
+        t_rows = np.zeros(max(n_tiles, 1), np.int32)
+        t_cols = np.zeros(max(n_tiles, 1), np.int32)
+        if nnz:
+            blocks[tid, (rows[order] % br), (cols[order] % bc)] = vals[order]
+            t_rows[tid] = (brow[order]).astype(np.int32)
+            t_cols[tid] = (bcol[order]).astype(np.int32)
+
+        # dummy tiles for empty block-rows (kernel zeroes output on first visit)
+        n_br = max(-(-n_rows // br), 1)
+        present = np.zeros(n_br, bool)
+        if nnz:
+            present[t_rows[:n_tiles]] = True
+        else:
+            n_tiles = 0
+        missing = np.flatnonzero(~present).astype(np.int32)
+        if missing.size:
+            blocks = np.concatenate(
+                [blocks[:n_tiles], np.zeros((missing.size, br, bc), data.dtype)])
+            t_rows = np.concatenate([t_rows[:n_tiles], missing])
+            t_cols = np.concatenate([t_cols[:n_tiles],
+                                     np.zeros(missing.size, np.int32)])
+            order2 = np.argsort(t_rows, kind="stable")
+            blocks, t_rows, t_cols = blocks[order2], t_rows[order2], t_cols[order2]
+        return cls(blocks=jnp.asarray(blocks), block_rows=jnp.asarray(t_rows),
+                   block_cols=jnp.asarray(t_cols), shape=(n_rows, n_cols))
+
+    @classmethod
+    def from_coo(cls, coo, br: int = BLOCK_ROWS, bc: int = BLOCK_COLS) -> "BSR":
+        return cls.from_csr(coo.to_csr(), br=br, bc=bc)
+
+    # -- canonical views ------------------------------------------------------
+    def to_coo(self):
+        from .coo import COO
+
+        t, br, bc = self.blocks.shape
+        rows = (self.block_rows[:, None, None].astype(jnp.int32) * br
+                + jnp.arange(br, dtype=jnp.int32)[None, :, None])
+        cols = (self.block_cols[:, None, None].astype(jnp.int32) * bc
+                + jnp.arange(bc, dtype=jnp.int32)[None, None, :])
+        rows = jnp.broadcast_to(rows, self.blocks.shape).reshape(-1)
+        cols = jnp.broadcast_to(cols, self.blocks.shape).reshape(-1)
+        vals = self.blocks.reshape(-1)
+        stored = vals != 0
+        n_rows = self.shape[0]
+        return COO(rows=jnp.where(stored, rows, n_rows),
+                   cols=jnp.where(stored, cols, 0),
+                   vals=vals, shape=self.shape, canonical=False)
+
+    def to_csr(self):
+        return self.to_coo().to_csr()
+
+    # -- structure --------------------------------------------------------------
+    @property
+    def nse(self) -> int:
+        return int(np.prod(self.blocks.shape))
+
+    @property
+    def n_tiles(self) -> int:
+        return int(self.blocks.shape[0])
+
+    @property
+    def br(self) -> int:
+        return int(self.blocks.shape[1])
+
+    @property
+    def bc(self) -> int:
+        return int(self.blocks.shape[2])
+
+    @property
+    def index_dtype(self):
+        return jnp.dtype(jnp.int32)
+
+    @property
+    def data(self):
+        return self.blocks
+
+    def n_non_zero_entries(self):
+        return jnp.sum(self.blocks != 0).astype(jnp.int32)
+
+    def scale(self, scalar) -> "BSR":
+        return dataclasses.replace(
+            self, blocks=self.blocks * jnp.asarray(scalar, self.blocks.dtype))
+
+    def fill_ratio(self) -> float:
+        """Stored / padded slots — dispatch metric: BSR wins when blocks are
+        dense enough that the MXU FLOPs aren't wasted on zeros."""
+        n = int(np.asarray(self.n_non_zero_entries()))
+        return n / max(self.nse, 1)

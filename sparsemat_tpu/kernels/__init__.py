@@ -6,6 +6,8 @@ serialized).  Each kernel has an XLA reference implementation used for
 interpret-mode tests and as a CPU fallback.
 """
 
+from .spmm import bsr_spmm_pallas, bsr_spmm_xla, spmm_pallas
 from .spmv import spmv_pallas, well_spmv_pallas, well_spmv_xla
 
-__all__ = ["spmv_pallas", "well_spmv_pallas", "well_spmv_xla"]
+__all__ = ["spmv_pallas", "well_spmv_pallas", "well_spmv_xla",
+           "spmm_pallas", "bsr_spmm_pallas", "bsr_spmm_xla"]

@@ -1,0 +1,160 @@
+"""SpMM kernels: Y = A @ B with sparse A (BSR) and dense B — MXU path.
+
+The reference's only multiply-by-matrix is the serial SpGEMM sweep
+(src/sparsematrix.rs:186-210); dense-operand SpMM has no counterpart.  On
+TPU this is the one sparse op that can ride the 128×128 MXU: every stored
+(BR × BC) block of A contracts against a (BC × BN) tile of B.
+
+Kernel structure (PrefetchScalarGridSpec):
+* grid = (J, T): J = B-column tiles (outer), T = stored blocks sorted by
+  block-row (inner) — so for a fixed j the output block (block_rows[t], j)
+  is revisited by consecutive steps and stays resident in VMEM;
+* scalar-prefetched ``block_rows``/``block_cols`` drive the BlockSpec index
+  maps (which B tile to DMA, which Y tile to accumulate);
+* first visit of an output block zeroes it (``@pl.when``), then each step
+  does one (BR×BC)@(BC×BN) ``jnp.dot`` with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bsr import BSR
+from ..types import accum_dtype
+
+BN = 128  # B/Y column tile width (lane count)
+
+
+def _pad_cols(arr: jax.Array, multiple: int) -> jax.Array:
+    pad = -arr.shape[1] % multiple
+    if pad:
+        arr = jnp.pad(arr, ((0, 0), (0, pad)))
+    return arr
+
+
+def _pad_rows(arr: jax.Array, multiple: int) -> jax.Array:
+    pad = -arr.shape[0] % multiple
+    if pad:
+        arr = jnp.pad(arr, ((0, pad), (0, 0)))
+    return arr
+
+
+def bsr_spmm_xla(bsr: BSR, B: jax.Array) -> jax.Array:
+    """XLA reference implementation (CPU fallback / correctness oracle)."""
+    n_rows, n_cols = bsr.shape
+    br, bc = bsr.br, bsr.bc
+    adt = accum_dtype(jnp.result_type(bsr.blocks.dtype, B.dtype))
+    Bp = _pad_rows(B.astype(adt), bc)
+    Bb = Bp.reshape(-1, bc, B.shape[1])                       # (Kb, bc, m)
+    gathered = Bb.at[bsr.block_cols].get(mode="fill", fill_value=0)
+    partial = jnp.einsum("tij,tjk->tik", bsr.blocks.astype(adt), gathered,
+                         preferred_element_type=adt,
+                         precision=jax.lax.Precision.HIGHEST)  # (T, br, m)
+    n_rb = -(-n_rows // br)
+    Y = jnp.zeros((n_rb, br, B.shape[1]), adt)
+    Y = Y.at[bsr.block_rows].add(partial, mode="drop")
+    return Y.reshape(-1, B.shape[1])[:n_rows]
+
+
+#: Max bytes of one B column stripe held resident in VMEM (chip VMEM ~16 MB;
+#: leave room for A blocks, output, and double buffering).
+_B_STRIPE_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def bsr_spmm_pallas(bsr: BSR, B: jax.Array, *, bn: int = BN,
+                    interpret: bool = False) -> jax.Array:
+    """Pallas TPU kernel: one MXU matmul per (stored block × B tile).
+
+    Two B-operand strategies, picked by size: when a full (n × bn) column
+    stripe of B fits in VMEM it stays resident across the whole inner tile
+    sweep (B traffic = one stripe per j step instead of one (bc × bn) tile
+    per (j, t) step — a T-fold reduction); otherwise each step DMAs just the
+    block_cols[t] tile."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, _ = bsr.shape
+    br, bc = bsr.br, bsr.bc
+    m = B.shape[1]
+    adt = accum_dtype(jnp.result_type(bsr.blocks.dtype, B.dtype))
+    n_rb = -(-n_rows // br)
+    t_tiles = bsr.n_tiles
+    if t_tiles == 0 or m == 0:
+        return jnp.zeros((n_rows, m), adt)
+
+    Bp = _pad_cols(_pad_rows(B.astype(adt), bc), bn)          # (Kb*bc, Jn*bn)
+    j_tiles = Bp.shape[1] // bn
+    blocks = bsr.blocks.astype(adt)
+    n_k = Bp.shape[0]
+    b_resident = n_k * bn * Bp.dtype.itemsize <= _B_STRIPE_VMEM_BUDGET
+
+    if b_resident:
+        def kernel(rows_ref, cols_ref, a_ref, b_ref, o_ref):
+            t = pl.program_id(1)
+            prev = rows_ref[jnp.maximum(t - 1, 0)]
+            first = jnp.logical_or(t == 0, rows_ref[t] != prev)
+
+            @pl.when(first)
+            def _():
+                o_ref[...] = jnp.zeros_like(o_ref)
+
+            b_tile = b_ref[pl.ds(cols_ref[t] * bc, bc), :]
+            # HIGHEST: true-f32 MXU passes — the TPU default is one bf16
+            # pass (~1e-3 relative error), wrong for a solver library
+            o_ref[...] += jnp.dot(a_ref[0], b_tile, preferred_element_type=adt,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+        b_spec = pl.BlockSpec((n_k, bn), lambda j, t, rows, cols: (0, j))
+    else:
+        def kernel(rows_ref, cols_ref, a_ref, b_ref, o_ref):
+            t = pl.program_id(1)
+            prev = rows_ref[jnp.maximum(t - 1, 0)]
+            first = jnp.logical_or(t == 0, rows_ref[t] != prev)
+
+            @pl.when(first)
+            def _():
+                o_ref[...] = jnp.zeros_like(o_ref)
+
+            o_ref[...] += jnp.dot(a_ref[0], b_ref[...],
+                                  preferred_element_type=adt,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+        b_spec = pl.BlockSpec((bc, bn), lambda j, t, rows, cols: (cols[t], j))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(j_tiles, t_tiles),
+        in_specs=[
+            pl.BlockSpec((1, br, bc), lambda j, t, rows, cols: (t, 0, 0)),
+            b_spec,
+        ],
+        out_specs=pl.BlockSpec((br, bn), lambda j, t, rows, cols: (rows[t], j)),
+    )
+    b_bytes = (j_tiles * n_k * bn * 4 if b_resident
+               else t_tiles * j_tiles * bc * bn * 4)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rb * br, j_tiles * bn), adt),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_tiles * j_tiles * br * bc * bn,
+            bytes_accessed=int(blocks.nbytes * j_tiles + b_bytes
+                               + n_rb * br * j_tiles * bn * 4),
+            transcendentals=0),
+    )(bsr.block_rows, bsr.block_cols, blocks, Bp)
+    return y[:n_rows, :m]
+
+
+def spmm_pallas(mat, B: jax.Array) -> jax.Array:
+    """Dispatch entry for ops.spmm(method='pallas')."""
+    bsr = mat if isinstance(mat, BSR) else BSR.from_csr(mat.to_csr())
+    d = jax.devices()[0]
+    on_tpu = "tpu" in d.platform.lower() or "TPU" in getattr(d, "device_kind", "")
+    if on_tpu:
+        return bsr_spmm_pallas(bsr, jnp.asarray(B))
+    return bsr_spmm_xla(bsr, jnp.asarray(B))

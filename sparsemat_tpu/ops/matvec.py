@@ -120,10 +120,13 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
     """Y = A @ B for dense B of shape (n_cols, m)."""
     B = jnp.asarray(B)
     _check_dims(mat, B, "spmm")
-    if method == "pallas":
-        from ..kernels.spmm import spmm_pallas
+    from ..formats.bsr import BSR
 
-        return spmm_pallas(mat, B)
+    if isinstance(mat, BSR) or method in ("pallas", "bsr"):
+        from ..kernels.spmm import bsr_spmm_pallas, bsr_spmm_xla
+
+        bsr = mat if isinstance(mat, BSR) else BSR.from_csr(mat.to_csr())
+        return (bsr_spmm_pallas(bsr, B) if _on_tpu() else bsr_spmm_xla(bsr, B))
     if isinstance(mat, DIA) or method == "dia":
         dia = mat if isinstance(mat, DIA) else mat.to_dia()
         return dia_spmm(dia, B)
