@@ -18,7 +18,14 @@ TPU/XLA:
 
 from . import formats, ops, solvers, vectors
 from .builder import PartitionedBuilder, SparseBuilder
-from .solvers import BiCGStab, ConjugateGradient, Jacobi, JacobiPreconditioner, SolveInfo
+from .solvers import (
+    BiCGStab,
+    ConjugateGradient,
+    GMRES,
+    Jacobi,
+    JacobiPreconditioner,
+    SolveInfo,
+)
 from .formats import (
     BSR, COO, CSR, DIA, ELL, SELL, WELL, RowVec, SparseFormat, auto_format,
 )
@@ -45,8 +52,8 @@ __all__ = [
     "BSR", "COO", "CSR", "DIA", "ELL", "RowVec", "SELL", "WELL",
     "SparseFormat", "auto_format",
     "SparseBuilder", "PartitionedBuilder",
-    "ConjugateGradient", "Jacobi", "BiCGStab", "JacobiPreconditioner",
-    "SolveInfo", "solvers",
+    "ConjugateGradient", "Jacobi", "BiCGStab", "GMRES",
+    "JacobiPreconditioner", "SolveInfo", "solvers",
     "DimensionError",
     "spmv", "spmm", "spgemm", "rmatvec",
     "add", "sub", "transpose", "inner_prod", "is_symmetric",

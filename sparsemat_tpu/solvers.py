@@ -14,10 +14,12 @@ single solver, written against ``SparseMatrix::mvp``.  TPU-native redesign:
 * solvers report iterations/residual (the reference returns ``()`` and hides
   both — SURVEY.md §5 observability gap) and never panic on divergence.
 
-Solver set: CG (reference parity), preconditioned CG, BiCGStab
-(nonsymmetric), Jacobi / weighted Jacobi, and Gauss-Seidel / SOR via a
-sequential scan sweep (latency-bound on TPU; provided for capability parity
-per BASELINE.json "Jacobi/Gauss-Seidel/CG-style").
+Solver set: CG (reference parity), preconditioned CG, BiCGStab and
+restarted GMRES (nonsymmetric), Chebyshev semi-iteration (inner-product-free
+— zero collectives per distributed iteration), Jacobi / weighted Jacobi, and
+Gauss-Seidel / SOR via a sequential scan sweep (latency-bound on TPU;
+provided for capability parity per BASELINE.json "Jacobi/Gauss-Seidel/
+CG-style").
 
 Dtypes are gated to floats, mirroring the ``FloatType`` bound on the trait
 (src/linearsolver.rs:6-10, src/types.rs:70-77).
@@ -181,6 +183,137 @@ def bicgstab(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
                                converged=res < threshold)
 
 
+# --- GMRES(restart) ----------------------------------------------------------
+
+def gmres(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
+          restart: int = 30, maxiter: int = 10_000, M=None):
+    """Restarted GMRES — capability extension for nonsymmetric systems (the
+    reference's ``LinearSolver`` trait has only CG, src/linearsolver.rs:12).
+
+    TPU-native structure: the Arnoldi cycle is a ``lax.fori_loop`` over a
+    *static* restart window (Krylov basis V: (restart+1, n) fixed shape),
+    Givens rotations maintain the QR of the Hessenberg matrix so the
+    residual norm is available every step without solving; converged steps
+    freeze (identity updates) instead of exiting early, keeping shapes
+    static under jit.  ``maxiter`` counts total inner iterations.
+    """
+    b = _check_operands(A, b)
+    matvec = _as_matvec(A)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    precond = (M.apply if hasattr(M, "apply") else M) or (lambda v: v)
+    n = b.shape[0]
+    m = int(restart)
+    dt = b.dtype
+
+    threshold = jnp.maximum(jnp.asarray(tol, dt),
+                            rtol * jnp.sqrt(_dot(b, b)).astype(dt))
+    n_cycles = max(-(-int(maxiter) // m), 1)
+
+    def arnoldi_step(j, carry):
+        V, H, cs, sn, g, active, steps = carry
+        w = matvec(precond(V[j]))
+        # modified Gram-Schmidt against all basis vectors (rows > j are zero)
+        h = V @ w                                   # (m+1,) projections
+        mask = (jnp.arange(m + 1) <= j)
+        h = jnp.where(mask, h, 0)
+        w = w - V.T @ h
+        h_next = jnp.sqrt(_dot(w, w))
+        v_next = jnp.where(h_next > 0, w / jnp.where(h_next > 0, h_next, 1), 0)
+        # apply previous Givens rotations to the new column
+        def rot(i, hcol):
+            hi, hi1 = hcol[i], hcol[i + 1]
+            return hcol.at[i].set(cs[i] * hi + sn[i] * hi1) \
+                       .at[i + 1].set(-sn[i] * hi + cs[i] * hi1)
+        hcol = h.at[j + 1].set(h_next)
+        hcol = jax.lax.fori_loop(0, j, rot, hcol)
+        # new rotation zeroing hcol[j+1]
+        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+        c_j = jnp.where(denom > 0, hcol[j] / jnp.where(denom > 0, denom, 1), 1.0)
+        s_j = jnp.where(denom > 0, hcol[j + 1] / jnp.where(denom > 0, denom, 1), 0.0)
+        hcol = hcol.at[j].set(c_j * hcol[j] + s_j * hcol[j + 1]).at[j + 1].set(0.0)
+        g_j = g[j]
+        new_g = g.at[j].set(c_j * g_j).at[j + 1].set(-s_j * g_j)
+        still = active & (jnp.abs(new_g[j + 1]) >= threshold) & (h_next > 0)
+        # frozen step → identity column (diag 1) so back-substitution yields 0
+        eye_col = jnp.zeros((m + 1,), dt).at[j].set(1.0)
+        V = V.at[j + 1].set(jnp.where(active, v_next, 0))
+        H = H.at[:, j].set(jnp.where(active, hcol, eye_col))
+        cs = cs.at[j].set(jnp.where(active, c_j, 1.0))
+        sn = sn.at[j].set(jnp.where(active, s_j, 0.0))
+        g = jnp.where(active, new_g, g)
+        return (V, H, cs, sn, g, still, steps + active.astype(jnp.int32))
+
+    def cycle(state):
+        x, res, k, _ = state
+        r = b - matvec(x)
+        beta = jnp.sqrt(_dot(r, r))
+        V0 = jnp.zeros((m + 1, n), dt).at[0].set(
+            jnp.where(beta > 0, r / jnp.where(beta > 0, beta, 1), 0))
+        H0 = jnp.zeros((m + 1, m), dt)
+        g0 = jnp.zeros((m + 1,), dt).at[0].set(beta)
+        carry = (V0, H0, jnp.ones((m,), dt), jnp.zeros((m,), dt), g0,
+                 beta >= threshold, jnp.zeros((), jnp.int32))
+        V, H, cs, sn, g, _, steps = jax.lax.fori_loop(0, m, arnoldi_step, carry)
+        # mask g past the active steps: the first frozen slot carries the
+        # final residual, which must not leak into the correction
+        g_solve = jnp.where(jnp.arange(m) < steps, g[:m], 0)
+        y = jax.scipy.linalg.solve_triangular(H[:m, :m], g_solve, lower=False)
+        x = x + precond(V[:m].T @ y)
+        r2 = b - matvec(x)
+        res2 = jnp.sqrt(_dot(r2, r2))
+        return (x, res2, k + m, res2 < threshold)
+
+    def cond(state):
+        _, res, k, done = state
+        return (k < n_cycles * m) & ~done
+
+    r0 = b - matvec(x0)
+    res0 = jnp.sqrt(_dot(r0, r0))
+    x, res, k, done = jax.lax.while_loop(
+        cond, cycle, (x0, res0, jnp.zeros((), jnp.int32), res0 < threshold))
+    return x, SolveInfo(iterations=k, residual_norm=res,
+                        converged=res < threshold)
+
+
+# --- Chebyshev ----------------------------------------------------------------
+
+def chebyshev(A, b, x0=None, *, lambda_min: float, lambda_max: float,
+              tol: float = 1e-12, rtol: float = 0.0, maxiter: int = 10_000):
+    """Chebyshev semi-iteration for SPD systems with known spectral bounds
+    [lambda_min, lambda_max].  No inner products at all — on a device mesh
+    that means *zero collectives per iteration* (only the SpMV halo
+    exchange), the cheapest distributed smoother available."""
+    b = _check_operands(A, b)
+    matvec = _as_matvec(A)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    theta = (lambda_max + lambda_min) / 2.0
+    delta = (lambda_max - lambda_min) / 2.0
+    sigma1 = theta / delta
+
+    threshold = jnp.maximum(jnp.asarray(tol, b.dtype),
+                            rtol * jnp.sqrt(_dot(b, b)).astype(b.dtype))
+
+    def cond(s):
+        return (s["k"] < maxiter) & (s["rr"] >= threshold * threshold)
+
+    def body(s):
+        r = b - matvec(s["x"])
+        rho_new = jnp.where(s["k"] == 0, 1.0 / sigma1,
+                            1.0 / (2.0 * sigma1 - s["rho"]))
+        d = jnp.where(s["k"] == 0, r / theta,
+                      rho_new * s["rho"] * s["d"] + (2.0 * rho_new / delta) * r)
+        x = s["x"] + d
+        return dict(x=x, d=d, rho=rho_new, k=s["k"] + 1, rr=_dot(r, r))
+
+    state = dict(x=x0, d=jnp.zeros_like(b), rho=jnp.asarray(sigma1, b.dtype),
+                 k=jnp.zeros((), jnp.int32),
+                 rr=jnp.asarray(jnp.inf, b.dtype))
+    out = jax.lax.while_loop(cond, body, state)
+    res = jnp.sqrt(out["rr"])
+    return out["x"], SolveInfo(iterations=out["k"], residual_norm=res,
+                               converged=res < threshold)
+
+
 # --- Jacobi ------------------------------------------------------------------
 
 def jacobi(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
@@ -329,3 +462,14 @@ class BiCGStab:
     def solve(self, mat, b, x=None):
         return bicgstab(mat, jnp.asarray(b), x0=x, tol=self.tol,
                         maxiter=self.iter_max)
+
+
+@dataclasses.dataclass
+class GMRES:
+    tol: float = 1e-12
+    iter_max: int = 10_000
+    restart: int = 30
+
+    def solve(self, mat, b, x=None):
+        return gmres(mat, jnp.asarray(b), x0=x, tol=self.tol,
+                     maxiter=self.iter_max, restart=self.restart)
