@@ -16,7 +16,7 @@ TPU/XLA:
   src/sparsemat_par.rs:37-68).
 """
 
-from . import formats, ops, solvers, vectors
+from . import checkpoint, formats, io, ops, solvers, vectors
 from .builder import PartitionedBuilder, SparseBuilder
 from .solvers import (
     BiCGStab,
@@ -59,7 +59,7 @@ __all__ = [
     "add", "sub", "transpose", "inner_prod", "is_symmetric",
     "is_sorted", "is_sorted_row", "extract_row",
     "DenseVec", "SparseVec", "norm", "norm_squared",
-    "formats", "ops", "vectors",
+    "formats", "ops", "vectors", "io", "checkpoint",
 ]
 
 

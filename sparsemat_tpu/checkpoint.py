@@ -1,0 +1,106 @@
+"""Checkpoint / resume.
+
+The reference has no persistence at all — its only serialization is one-way
+debug text (reference: src/sparsematrix.rs:284-338; SURVEY.md §5 flags
+checkpoint/resume as a new capability the TPU build must supply).  This
+module provides:
+
+* ``save_matrix`` / ``load_matrix`` — any frozen format (COO/CSR/ELL/SELL/
+  DIA/WELL/BSR) round-trips through one ``.npz`` file: array fields as npz
+  entries, static fields (shape, offsets, …) as a JSON header.  Formats are
+  dataclass pytrees, so the field split is introspected, not hand-listed —
+  new formats serialize automatically.
+* ``save_solve_state`` / ``load_solve_state`` / ``resume`` — solver
+  checkpointing.  CG/GMRES restarted from a checkpointed iterate ``x`` is
+  mathematically a fresh solve with a better initial guess (conjugacy
+  history is not preserved — same convergence guarantee, possibly a few
+  extra iterations), which keeps the checkpoint format tiny and
+  solver-agnostic: (x, iterations, residual_norm).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_FORMAT_REGISTRY = {}
+
+
+def _registry():
+    if not _FORMAT_REGISTRY:
+        from . import formats
+
+        for name in formats.__all__:
+            cls = getattr(formats, name)
+            if isinstance(cls, type) and dataclasses.is_dataclass(cls):
+                _FORMAT_REGISTRY[cls.__name__] = cls
+    return _FORMAT_REGISTRY
+
+
+def save_matrix(path: str, mat) -> None:
+    """Serialize a frozen format to ``.npz`` (host-side)."""
+    if not dataclasses.is_dataclass(mat):
+        raise TypeError(f"cannot checkpoint {type(mat).__name__}: freeze the "
+                        "builder to a format first")
+    arrays = {}
+    static = {}
+    for f in dataclasses.fields(mat):
+        v = getattr(mat, f.name)
+        if f.metadata.get("pytree_node", True):
+            arrays[f.name] = np.asarray(v)
+        else:
+            static[f.name] = v
+    header = json.dumps({"format": type(mat).__name__, "static": static})
+    np.savez(path, __header__=np.frombuffer(header.encode(), np.uint8),
+             **arrays)
+
+
+def load_matrix(path: str):
+    """Load a matrix saved by ``save_matrix``."""
+    with np.load(path) as z:
+        header = json.loads(bytes(z["__header__"]).decode())
+        cls = _registry().get(header["format"])
+        if cls is None:
+            raise ValueError(f"{path}: unknown format {header['format']!r}")
+        kwargs = dict(header["static"])
+        # JSON turns tuples into lists; static tuple fields need restoring
+        for k, v in kwargs.items():
+            if isinstance(v, list):
+                kwargs[k] = tuple(v)
+        for f in dataclasses.fields(cls):
+            if f.metadata.get("pytree_node", True):
+                kwargs[f.name] = jnp.asarray(z[f.name])
+    return cls(**kwargs)
+
+
+class SolveState(NamedTuple):
+    """Resumable solver checkpoint."""
+
+    x: np.ndarray
+    iterations: int
+    residual_norm: float
+
+
+def save_solve_state(path: str, x, info=None) -> None:
+    """Checkpoint a (possibly partial) solve: the iterate + progress info."""
+    np.savez(path, x=np.asarray(x),
+             iterations=np.int64(int(info.iterations) if info is not None else 0),
+             residual_norm=np.float64(
+                 float(info.residual_norm) if info is not None else np.inf))
+
+
+def load_solve_state(path: str) -> SolveState:
+    with np.load(path) as z:
+        return SolveState(x=z["x"], iterations=int(z["iterations"]),
+                          residual_norm=float(z["residual_norm"]))
+
+
+def resume(solver_fn, A, b, state: SolveState, **kw):
+    """Continue a checkpointed solve: ``solver_fn(A, b, x0=state.x, **kw)``
+    with the reported iteration count offset by the checkpoint's."""
+    x, info = solver_fn(A, b, x0=jnp.asarray(state.x), **kw)
+    return x, info._replace(iterations=info.iterations + state.iterations)
