@@ -66,11 +66,12 @@ def load_matrix(path: str):
         cls = _registry().get(header["format"])
         if cls is None:
             raise ValueError(f"{path}: unknown format {header['format']!r}")
-        kwargs = dict(header["static"])
-        # JSON turns tuples into lists; static tuple fields need restoring
-        for k, v in kwargs.items():
-            if isinstance(v, list):
-                kwargs[k] = tuple(v)
+        def untuple(v):
+            # JSON turns tuples into lists; static fields may nest (e.g.
+            # WELL.chunks is a tuple of 4-tuples)
+            return tuple(untuple(e) for e in v) if isinstance(v, list) else v
+
+        kwargs = {k: untuple(v) for k, v in header["static"].items()}
         for f in dataclasses.fields(cls):
             if f.metadata.get("pytree_node", True):
                 kwargs[f.name] = jnp.asarray(z[f.name])

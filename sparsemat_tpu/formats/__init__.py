@@ -23,10 +23,11 @@ from .dia import DIA
 from .ell import ELL
 from .rowvec import RowVec
 from .sell import SELL
+from .slab import SlabELL
 from .well import WELL
 
 __all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "RowVec",
-           "SELL", "WELL", "auto_format"]
+           "SELL", "SlabELL", "WELL", "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):

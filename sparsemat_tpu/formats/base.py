@@ -79,6 +79,11 @@ class SparseFormat:
 
         return WELL.from_csr(self.to_csr(), k_tile=k_tile)
 
+    def to_slab(self, rb: int | None = None):
+        from .slab import SLAB_ROW_BLOCK, SlabELL
+
+        return SlabELL.from_csr(self.to_csr(), rb=rb or SLAB_ROW_BLOCK)
+
     @property
     def n_rows(self) -> int:
         return self.shape[0]

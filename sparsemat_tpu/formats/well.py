@@ -38,6 +38,35 @@ from .base import SparseFormat, array_field, register_format, static_field
 ROW_BLOCK = 8
 WINDOW = 128
 
+#: Max tiles whose (tile_rows, tile_wins) scalar-prefetch arrays fit in SMEM
+#: (~1 MB): 2 arrays × 4 B × 60k = 480 KB, leaving headroom.  Larger
+#: matrices run as several pallas_calls over row-block-aligned tile chunks.
+MAX_TILES_PER_CALL = 60_000
+
+
+def _chunk_bounds(tile_rows: np.ndarray, n_rb: int,
+                  max_tiles: int = MAX_TILES_PER_CALL):
+    """Split the tile stream into SMEM-sized chunks at row-block boundaries.
+
+    Returns ((tile_start, tile_end, rb_start, rb_end), ...) — each row block
+    lands in exactly one chunk, so per-chunk outputs concatenate.
+    """
+    t = int(tile_rows.shape[0])
+    if t <= max_tiles:
+        return ((0, t, 0, n_rb - 1),)
+    rb_first = np.searchsorted(tile_rows, np.arange(n_rb + 1))
+    rb_first[-1] = t
+    bounds = []
+    rb0 = 0
+    while rb0 < n_rb:
+        rb1 = rb0
+        while (rb1 + 1 < n_rb
+               and rb_first[rb1 + 2] - rb_first[rb0] <= max_tiles):
+            rb1 += 1
+        bounds.append((int(rb_first[rb0]), int(rb_first[rb1 + 1]), rb0, rb1))
+        rb0 = rb1 + 1
+    return tuple(bounds)
+
 
 @register_format
 @dataclasses.dataclass(frozen=True)
@@ -47,7 +76,9 @@ class WELL(SparseFormat):
     ``vals``: (n_tiles, 8, K) values (padding 0);
     ``lidx``: (n_tiles, 8, K) column-within-window ids (padding 0);
     ``tile_rows``: (n_tiles,) row-block id per tile (sorted ascending);
-    ``tile_wins``: (n_tiles,) window id per tile.
+    ``tile_wins``: (n_tiles,) window id per tile;
+    ``chunks``: static row-block-aligned tile ranges sized so each chunk's
+    scalar-prefetch arrays fit in SMEM (one pallas_call per chunk).
     """
 
     vals: jax.Array = array_field()
@@ -55,6 +86,7 @@ class WELL(SparseFormat):
     tile_rows: jax.Array = array_field()
     tile_wins: jax.Array = array_field()
     shape: Tuple[int, int] = static_field()
+    chunks: Tuple[Tuple[int, int, int, int], ...] = static_field()
 
     @classmethod
     def from_csr(cls, csr, k_tile: int | None = None) -> "WELL":
@@ -141,7 +173,8 @@ class WELL(SparseFormat):
                                         t_rows[order3], t_wins[order3])
         return cls(vals=jnp.asarray(v_t), lidx=jnp.asarray(l_t),
                    tile_rows=jnp.asarray(t_rows), tile_wins=jnp.asarray(t_wins),
-                   shape=(n_rows, n_cols))
+                   shape=(n_rows, n_cols),
+                   chunks=_chunk_bounds(t_rows, n_rb))
 
     # -- canonical views ----------------------------------------------------
     def to_coo(self):

@@ -7,7 +7,14 @@ interpret-mode tests and as a CPU fallback.
 """
 
 from .spmm import bsr_spmm_pallas, bsr_spmm_xla, spmm_pallas
-from .spmv import spmv_pallas, well_spmv_pallas, well_spmv_xla
+from .spmv import (
+    slab_spmv_pallas,
+    slab_spmv_xla,
+    spmv_pallas,
+    well_spmv_pallas,
+    well_spmv_xla,
+)
 
 __all__ = ["spmv_pallas", "well_spmv_pallas", "well_spmv_xla",
+           "slab_spmv_pallas", "slab_spmv_xla",
            "spmm_pallas", "bsr_spmm_pallas", "bsr_spmm_xla"]

@@ -48,7 +48,11 @@ def well_spmv_xla(well: WELL, x: jax.Array) -> jax.Array:
 
 
 def well_spmv_pallas(well: WELL, x: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """Pallas TPU kernel."""
+    """Pallas TPU kernel.
+
+    Large matrices run as several pallas_calls over the freeze-time tile
+    ``chunks`` (row-block aligned): each call's scalar-prefetch arrays fit in
+    SMEM and the per-chunk outputs concatenate."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -59,8 +63,7 @@ def well_spmv_pallas(well: WELL, x: jax.Array, *, interpret: bool = False) -> ja
         return jnp.zeros((n_rows,), adt)
     xw, _ = _pad_x_windows(well, x.astype(adt))
     k = well.k_tile
-    n_tiles = well.n_tiles
-    vals = well.vals.astype(adt)
+    vals_all = well.vals.astype(adt)
 
     def kernel(rb_ref, w_ref, vals_ref, lidx_ref, x_ref, o_ref):
         i = pl.program_id(0)
@@ -83,33 +86,176 @@ def well_spmv_pallas(well: WELL, x: jax.Array, *, interpret: bool = False) -> ja
         g = jnp.take_along_axis(xb, idx, axis=1)               # (8, 128)
         o_ref[0, 0] += jnp.sum(v * g, axis=1)
 
-    # x windows carried as (n_win, 1, 128) and output as (n_rb, 1, 8) so the
-    # per-step blocks (1,1,128)/(1,1,8) satisfy Mosaic's trailing-dims rule
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, ROW_BLOCK, k), lambda i, rb, w: (i, 0, 0)),
-            pl.BlockSpec((1, ROW_BLOCK, k), lambda i, rb, w: (i, 0, 0)),
-            pl.BlockSpec((1, 1, WINDOW), lambda i, rb, w: (w[i], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, ROW_BLOCK), lambda i, rb, w: (rb[i], 0, 0)),
-    )
-    y = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rb, 1, ROW_BLOCK), adt),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * ROW_BLOCK * k,
-            bytes_accessed=int(vals.nbytes + well.lidx.nbytes
-                               + n_tiles * WINDOW * 4 + n_rb * ROW_BLOCK * 4),
-            transcendentals=0),
-    )(well.tile_rows, well.tile_wins, vals, well.lidx, xw[:, None, :])
-    return y.reshape(-1)[:n_rows]
+    outs = []
+    for (ts, te, rb0, rb1) in well.chunks:
+        nt = te - ts
+        nrb = rb1 - rb0 + 1
+        rows_rel = well.tile_rows[ts:te] - rb0
+        # x windows carried as (n_win, 1, 128) and output as (nrb, 1, 8) so
+        # per-step blocks (1,1,128)/(1,1,8) satisfy Mosaic's trailing-dims rule
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((1, ROW_BLOCK, k), lambda i, rb, w: (i, 0, 0)),
+                pl.BlockSpec((1, ROW_BLOCK, k), lambda i, rb, w: (i, 0, 0)),
+                pl.BlockSpec((1, 1, WINDOW), lambda i, rb, w: (w[i], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, ROW_BLOCK),
+                                   lambda i, rb, w: (rb[i], 0, 0)),
+        )
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nrb, 1, ROW_BLOCK), adt),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nt * ROW_BLOCK * k,
+                bytes_accessed=int(vals_all.nbytes // max(well.n_tiles, 1) * nt
+                                   + well.lidx.nbytes // max(well.n_tiles, 1) * nt
+                                   + nt * WINDOW * 4 + nrb * ROW_BLOCK * 4),
+                transcendentals=0),
+        )(rows_rel, well.tile_wins[ts:te], vals_all[ts:te], well.lidx[ts:te],
+          xw[:, None, :])
+        outs.append(y.reshape(-1))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return y[:n_rows]
 
 
 def spmv_pallas(mat, x: jax.Array) -> jax.Array:
     """Dispatch entry for ops.spmv(method='pallas')."""
     well = mat if isinstance(mat, WELL) else WELL.from_csr(mat.to_csr())
     return well_spmv_pallas(well, x)
+
+
+# --- SlabELL: scattered rows with bounded span (see formats/slab.py) ----------
+
+from ..formats.slab import WINDOW as SLAB_WINDOW  # noqa: E402
+from ..formats.slab import SlabELL  # noqa: E402
+
+#: grid chunk bound: win_lo scalar-prefetch array must fit in SMEM
+_SLAB_MAX_BLOCKS_PER_CALL = 60_000
+
+
+def _slab_x_windows(sl: SlabELL, x: jax.Array):
+    """Pad x so every block's slab [win_lo, win_lo+S) is in range, reshaped
+    to (n_win, 128)."""
+    n_win_data = -(-sl.shape[1] // SLAB_WINDOW)
+    n_win = n_win_data + sl.slab_windows  # slack so win_lo + S never overruns
+    xp = jnp.pad(x, (0, n_win * SLAB_WINDOW - x.shape[0]))
+    return xp.reshape(n_win, SLAB_WINDOW)
+
+
+def slab_spmv_xla(sl: SlabELL, x: jax.Array) -> jax.Array:
+    """XLA reference implementation (CPU fallback / correctness oracle)."""
+    n_rows = sl.shape[0]
+    adt = accum_dtype(jnp.result_type(sl.vals.dtype, x.dtype))
+    cols = sl.lidx.astype(jnp.int32) + (
+        sl.win_lo[:, None, None].astype(jnp.int32) * SLAB_WINDOW)
+    xg = x.at[cols].get(mode="fill", fill_value=0)
+    y = jnp.sum(sl.vals.astype(adt) * xg.astype(adt), axis=2)
+    return y.reshape(-1)[:n_rows]
+
+
+def slab_spmv_pallas(sl: SlabELL, x: jax.Array, *,
+                     interpret: bool = False) -> jax.Array:
+    """Pallas TPU kernel: one grid step per RB-row block.
+
+    The x slab lives at an arbitrary window offset (``win_lo[i]``), which
+    BlockSpec's block-granular indexing cannot express — so x stays in
+    ``ANY`` (HBM) and the kernel issues one exact async copy
+    ``x[win_lo*128 : (win_lo+S)*128] → VMEM scratch`` per step, double
+    buffered: step i starts the copy for step i+1's slab before waiting on
+    its own, overlapping the slab fetch with the window-loop compute.  The
+    in-kernel loop then does one (RB × 128) ``take_along_axis`` gather per
+    window (Mosaic vector gathers are exactly 128 lanes wide), accumulating
+    per-slot partials that reduce once at the end."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = sl.shape[0]
+    rb = sl.row_block
+    k = sl.k
+    s = sl.slab_windows
+    n_rb = sl.n_row_blocks
+    adt = accum_dtype(jnp.result_type(sl.vals.dtype, x.dtype))
+    k2 = -(-k // SLAB_WINDOW) * SLAB_WINDOW  # in-register pad target
+    xw = _slab_x_windows(sl, x.astype(adt))  # (n_win, 128)
+    vals_all = sl.vals.astype(adt)
+
+    def kernel(wl_ref, vals_ref, lidx_ref, x_hbm, o_ref, slab, sem):
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        def start_fetch(step, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(wl_ref[step], s), :], slab.at[slot],
+                sem.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            start_fetch(0, 0).start()
+
+        @pl.when(i + 1 < nsteps)
+        def _():
+            start_fetch(i + 1, (i + 1) % 2).start()
+
+        start_fetch(i, i % 2).wait()
+
+        v = vals_ref[0]                                   # (RB, K)
+        li = lidx_ref[0]                                  # (RB, K)
+        if k2 > k:
+            # pad slots get lidx -1: window test (-1 // 128 == -1) never hits
+            li = jnp.pad(li, ((0, 0), (0, k2 - k)), constant_values=-1)
+            v = jnp.pad(v, ((0, 0), (0, k2 - k)))
+        acc0 = jnp.zeros((rb, SLAB_WINDOW), adt)
+        slot = i % 2
+
+        def wbody(w, acc):
+            xrow = slab[slot, pl.ds(w, 1), :]
+            xb = jnp.broadcast_to(xrow, (rb, SLAB_WINDOW))
+            for kc in range(k2 // SLAB_WINDOW):
+                li_c = li[:, kc * SLAB_WINDOW:(kc + 1) * SLAB_WINDOW]
+                v_c = v[:, kc * SLAB_WINDOW:(kc + 1) * SLAB_WINDOW]
+                sel = (li_c // SLAB_WINDOW) == w
+                idxw = jnp.where(sel, li_c % SLAB_WINDOW, 0)
+                g = jnp.take_along_axis(xb, idxw, axis=1)
+                acc = acc + jnp.where(sel, v_c, 0) * g
+            return acc
+
+        acc = jax.lax.fori_loop(0, s, wbody, acc0)
+        # output carried (nb, 1, RB) so the block's trailing dims are full
+        o_ref[0, 0] = jnp.sum(acc, axis=1)
+
+    outs = []
+    for cs in range(0, n_rb, _SLAB_MAX_BLOCKS_PER_CALL):
+        ce = min(cs + _SLAB_MAX_BLOCKS_PER_CALL, n_rb)
+        nb = ce - cs
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, rb, k), lambda i, wl: (i, 0, 0)),
+                pl.BlockSpec((1, rb, k), lambda i, wl: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, rb), lambda i, wl: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, s, SLAB_WINDOW), adt),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, 1, rb), adt),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nb * rb * k,
+                bytes_accessed=int(nb * rb * k * 8
+                                   + nb * s * SLAB_WINDOW * 4 + nb * rb * 4),
+                transcendentals=0),
+        )(sl.win_lo[cs:ce], vals_all[cs:ce], sl.lidx[cs:ce], xw)
+        outs.append(y.reshape(-1))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return y[:n_rows]

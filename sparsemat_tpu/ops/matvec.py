@@ -95,8 +95,17 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
 
             return dia_spmv_pallas(dia, x)
         return dia_spmv(dia, x)
+    from ..formats.slab import SlabELL
     from ..formats.well import WELL
 
+    if isinstance(mat, SlabELL) or method == "slab":
+        from ..kernels.spmv import slab_spmv_pallas, slab_spmv_xla
+
+        sl = mat if isinstance(mat, SlabELL) else mat.to_slab()
+        # VMEM guard: one x slab must fit comfortably on chip
+        if _on_tpu() and sl.slab_bytes() <= 8 * 1024 * 1024:
+            return slab_spmv_pallas(sl, x)
+        return slab_spmv_xla(sl, x)
     if isinstance(mat, WELL) or method == "well":
         from ..kernels.spmv import well_spmv_pallas, well_spmv_xla
 

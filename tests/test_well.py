@@ -81,3 +81,28 @@ def test_well_fill_ratio():
     well = smt.CSR.from_scipy(mat).to_well()
     assert well.k_tile == 1
     assert well.fill_ratio() == 1.0
+
+
+def test_well_chunked_kernel_matches_xla():
+    # force multi-chunk execution (SMEM-bounded tile ranges) on a small matrix
+    import dataclasses as _dc
+
+    import scipy.sparse as sp
+
+    from sparsemat_tpu.formats import well as well_mod
+    from sparsemat_tpu.kernels.spmv import well_spmv_pallas, well_spmv_xla
+
+    rng = np.random.default_rng(42)
+    dense = rng.standard_normal((64, 512)).astype(np.float32)
+    dense[rng.random((64, 512)) > 0.1] = 0
+    w = smt.CSR.from_scipy(sp.csr_matrix(dense)).to_well()
+    assert w.n_tiles > 4
+    chunked = _dc.replace(w, chunks=well_mod._chunk_bounds(
+        np.asarray(w.tile_rows), -(-64 // well_mod.ROW_BLOCK), max_tiles=3))
+    assert len(chunked.chunks) > 1
+    x = rng.standard_normal(512).astype(np.float32)
+    y_ref = well_spmv_xla(w, jnp.asarray(x))
+    y_chunked = well_spmv_pallas(chunked, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y_chunked), np.asarray(y_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y_ref), dense @ x, atol=1e-4)
