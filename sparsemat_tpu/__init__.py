@@ -27,7 +27,8 @@ from .solvers import (
     SolveInfo,
 )
 from .formats import (
-    BSR, COO, CSR, DIA, ELL, SELL, WELL, RowVec, SparseFormat, auto_format,
+    BSR, COO, CSR, DIA, ELL, SELL, WELL, RowVec, SlabELL, SparseFormat,
+    auto_format,
 )
 from .ops import (
     DimensionError,
@@ -49,7 +50,7 @@ from .vectors import DenseVec, SparseVec, norm, norm_squared
 __version__ = "0.1.0"
 
 __all__ = [
-    "BSR", "COO", "CSR", "DIA", "ELL", "RowVec", "SELL", "WELL",
+    "BSR", "COO", "CSR", "DIA", "ELL", "RowVec", "SELL", "SlabELL", "WELL",
     "SparseFormat", "auto_format",
     "SparseBuilder", "PartitionedBuilder",
     "ConjugateGradient", "Jacobi", "BiCGStab", "GMRES",

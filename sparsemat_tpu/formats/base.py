@@ -54,6 +54,25 @@ class SparseFormat:
 
     shape: Shape
 
+    # -- host-side array cache -----------------------------------------------
+    # Device→host readback can be very slow (remote-tunnel TPU platforms run
+    # ~MB/s), so format constructors that already hold host buffers stash them
+    # here and every host-side freeze/convert path reads through host().
+    def _stash_host(self, **arrays) -> "SparseFormat":
+        object.__setattr__(
+            self, "_host_cache", {k: np.asarray(v) for k, v in arrays.items()})
+        return self
+
+    def host(self, name: str) -> np.ndarray:
+        """Field ``name`` as a numpy array, cached across calls."""
+        cache = getattr(self, "_host_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_host_cache", cache)
+        if name not in cache:
+            cache[name] = np.asarray(getattr(self, name))
+        return cache[name]
+
     # -- canonical views (each concrete class overrides what it can) --------
     def to_coo(self):
         raise NotImplementedError

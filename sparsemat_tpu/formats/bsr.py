@@ -56,9 +56,9 @@ class BSR(SparseFormat):
             raise ValueError(f"block shape ({br},{bc}) must be (8k, 128k) "
                              "to align with TPU tiles")
         n_rows, n_cols = csr.shape
-        indptr = np.asarray(csr.indptr, np.int64)
-        indices = np.asarray(csr.indices, np.int64)
-        data = np.asarray(csr.data)
+        indptr = csr.host("indptr").astype(np.int64)
+        indices = csr.host("indices").astype(np.int64)
+        data = csr.host("data")
         nnz = int(indptr[-1])
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr))[:nnz]
         cols = indices[:nnz]

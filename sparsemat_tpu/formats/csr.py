@@ -63,12 +63,26 @@ class CSR(SparseFormat):
 
     @classmethod
     def from_arrays(cls, indptr, indices, data, shape) -> "CSR":
+        host = {k: v for k, v in
+                (("indptr", indptr), ("indices", indices), ("data", data))
+                if isinstance(v, np.ndarray)}
         indptr = jnp.asarray(indptr)
         indices = jnp.asarray(indices)
         data = jnp.asarray(data)
         row_ids = indptr_to_rows(indptr, indices.shape[0])
-        return cls(indptr=indptr, indices=indices, data=data,
-                   row_ids=row_ids, shape=tuple(shape))
+        out = cls(indptr=indptr, indices=indices, data=data,
+                  row_ids=row_ids, shape=tuple(shape))
+        if "indptr" in host:
+            ip = host["indptr"].astype(np.int64)
+            n_rows = ip.shape[0] - 1
+            rid = np.full(int(indices.shape[0]), n_rows, np.int64)
+            rid[: ip[-1]] = np.repeat(np.arange(n_rows), np.diff(ip))
+            host["row_ids"] = rid
+        if host:
+            # match the device dtype (jnp may demote 64-bit under x64-off)
+            out._stash_host(**{k: v.astype(getattr(out, k).dtype, copy=False)
+                               for k, v in host.items()})
+        return out
 
     @classmethod
     def from_host_coo(cls, rows, cols, vals, shape, *, dtype=None,
@@ -95,11 +109,17 @@ class CSR(SparseFormat):
             rows, cols, vals = rows[key_new], cols[key_new], summed
         counts = np.bincount(rows, minlength=n_rows)
         indptr = np.concatenate([[0], np.cumsum(counts)]).astype(index_dtype)
-        return cls(indptr=jnp.asarray(indptr),
-                   indices=jnp.asarray(cols.astype(index_dtype)),
-                   data=jnp.asarray(vals),
-                   row_ids=jnp.asarray(rows.astype(index_dtype)),
-                   shape=(n_rows, n_cols))
+        cols = cols.astype(index_dtype)
+        rows = rows.astype(index_dtype)
+        out = cls(indptr=jnp.asarray(indptr),
+                  indices=jnp.asarray(cols),
+                  data=jnp.asarray(vals),
+                  row_ids=jnp.asarray(rows),
+                  shape=(n_rows, n_cols))
+        return out._stash_host(
+            indptr=indptr.astype(out.indptr.dtype, copy=False),
+            indices=cols, data=vals.astype(out.data.dtype, copy=False),
+            row_ids=rows)
 
     @classmethod
     def from_dense(cls, mat, *, index_dtype=DEFAULT_INDEX_DTYPE) -> "CSR":
@@ -112,9 +132,9 @@ class CSR(SparseFormat):
         sp_mat = sp_mat.tocsr()
         sp_mat.sort_indices()
         return cls.from_arrays(
-            jnp.asarray(sp_mat.indptr, index_dtype),
-            jnp.asarray(sp_mat.indices, index_dtype),
-            jnp.asarray(sp_mat.data),
+            np.asarray(sp_mat.indptr, index_dtype),
+            np.asarray(sp_mat.indices, index_dtype),
+            np.asarray(sp_mat.data),
             sp_mat.shape)
 
     @classmethod
@@ -162,7 +182,7 @@ class CSR(SparseFormat):
 
     def max_row_nnz(self) -> int:
         """Host-side max nnz/row (static; used by ELL conversion & dispatch)."""
-        return int(np.asarray(self.row_nnz()).max(initial=0))
+        return int(np.diff(self.host("indptr")).max(initial=0))
 
     def scale(self, scalar) -> "CSR":
         return dataclasses.replace(self, data=self.data * jnp.asarray(scalar, self.data.dtype))

@@ -45,9 +45,9 @@ class DIA(SparseFormat):
         """Host-side freeze.  Every distinct (col-row) offset becomes a
         diagonal — use ``diagonal_count`` first to check suitability."""
         n_rows, n_cols = csr.shape
-        rows = np.asarray(csr.row_ids)
-        cols = np.asarray(csr.indices)
-        vals = np.asarray(csr.data)
+        rows = csr.host("row_ids")
+        cols = csr.host("indices")
+        vals = csr.host("data")
         valid = rows < n_rows
         rows, cols, vals = rows[valid], cols[valid], vals[valid]
         offs = np.unique(cols.astype(np.int64) - rows.astype(np.int64))
@@ -61,8 +61,8 @@ class DIA(SparseFormat):
     @staticmethod
     def diagonal_count(csr) -> int:
         """Number of distinct nonzero diagonals (host-side dispatch metric)."""
-        rows = np.asarray(csr.row_ids)
-        cols = np.asarray(csr.indices)
+        rows = csr.host("row_ids")
+        cols = csr.host("indices")
         valid = rows < csr.shape[0]
         return int(np.unique(cols[valid].astype(np.int64)
                              - rows[valid].astype(np.int64)).size)

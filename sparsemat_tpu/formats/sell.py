@@ -42,9 +42,9 @@ class SELL(SparseFormat):
         locality for cache-friendly x gathers)."""
         c = int(slice_height)
         n_rows, n_cols = csr.shape
-        indptr = np.asarray(csr.indptr)
-        indices = np.asarray(csr.indices)
-        data = np.asarray(csr.data)
+        indptr = csr.host("indptr")
+        indices = csr.host("indices")
+        data = csr.host("data")
         nnz_per_row = indptr[1:] - indptr[:-1]
 
         sigma = n_rows if sigma is None else int(sigma)

@@ -57,9 +57,9 @@ class SlabELL(SparseFormat):
         """Host-side freeze.  Columns within each row must be (and are, for
         canonical CSR) sorted; the slab is the window range of the block."""
         n_rows, n_cols = csr.shape
-        indptr = np.asarray(csr.indptr, np.int64)
-        indices = np.asarray(csr.indices, np.int64)
-        data = np.asarray(csr.data)
+        indptr = csr.host("indptr").astype(np.int64)
+        indices = csr.host("indices").astype(np.int64)
+        data = csr.host("data")
         nnz = int(indptr[-1])
         counts = np.diff(indptr)
         k = max(int(counts.max(initial=0)), 1)

@@ -94,9 +94,9 @@ class WELL(SparseFormat):
         window); rows denser than that in one window get split across
         duplicate tiles (accumulated by the kernel)."""
         n_rows, n_cols = csr.shape
-        indptr = np.asarray(csr.indptr, np.int64)
-        indices = np.asarray(csr.indices, np.int64)
-        data = np.asarray(csr.data)
+        indptr = csr.host("indptr").astype(np.int64)
+        indices = csr.host("indices").astype(np.int64)
+        data = csr.host("data")
         nnz = int(indptr[-1])
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr))
         rb = rows[:nnz] // ROW_BLOCK

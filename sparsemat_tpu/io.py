@@ -49,8 +49,8 @@ def to_pbm(mat, path: str) -> None:
     """
     csr = mat.to_csr()
     n_rows, n_cols = csr.shape
-    indptr = np.asarray(csr.indptr)
-    indices = np.asarray(csr.indices)
+    indptr = csr.host("indptr")
+    indices = csr.host("indices")
     lines = [f"P1\n{n_cols} {n_rows}"]
     for i in range(n_rows):
         cols = np.sort(indices[indptr[i]:indptr[i + 1]])

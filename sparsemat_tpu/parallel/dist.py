@@ -250,9 +250,9 @@ def distribute_csr(csr, mesh: Mesh, axis: str = ROWS_AXIS,
     n_rows, n_cols = csr.shape
     padded = _pad_rows(n_rows, n_blocks)
     r = padded // n_blocks
-    indptr = np.asarray(csr.indptr, np.int64)
-    indices = np.asarray(csr.indices, np.int64)
-    data = np.asarray(csr.data)
+    indptr = csr.host("indptr").astype(np.int64)
+    indices = csr.host("indices").astype(np.int64)
+    data = csr.host("data")
 
     if format == "ell":
         counts = np.diff(indptr)
