@@ -30,7 +30,8 @@ __all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "RowVec",
            "SELL", "SlabELL", "WELL", "auto_format"]
 
 
-def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):
+def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
+                max_slab_waste: float = 8.0):
     """Pick the fastest compute format for a frozen matrix (host-side).
 
     Heuristic (≈ the per-matrix kernel dispatch SURVEY.md §7 M3 calls for):
@@ -39,6 +40,9 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):
     * tight nnz/row distribution → ELL (padding waste below
       ``max_ell_waste``×);
     * skewed distribution → SELL (per-slice padding);
+    * scattered rows with bounded span (x windows fit in VMEM, bucket
+      padding below ``max_slab_waste``×) → SlabELL (bandwidth-bound
+      Pallas kernel; even heavily padded it beats the gather stream);
     * fallback → CSR gather + segment-sum stream.
     """
     import numpy as np
@@ -56,4 +60,8 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0):
     sell = SELL.from_csr(csr, slice_height=8)
     if sell.nse <= max_ell_waste * nnz:
         return sell
+    slab = SlabELL.from_csr(csr)
+    if (slab.x_bytes() <= 8 * 1024 * 1024
+            and slab.nse <= max_slab_waste * nnz):
+        return slab
     return csr

@@ -1,29 +1,35 @@
-"""SlabELL — slab-windowed ELL: the Pallas format for *scattered* rows with
-bounded column span (the SuiteSparse/FEM regime — BASELINE.md pwtk/cant).
+"""SlabELL — slab-windowed, window-bucketed ELL: the Pallas format for
+*scattered* rows with bounded column span (the SuiteSparse/FEM regime —
+BASELINE.md pwtk/cant).
 
 Motivation.  WELL (well.py) keys tiles by (8-row block, single 128-column
 window); on matrices whose rows scatter ~50 entries across a wide band, each
 tile holds 1-2 entries, the tile count explodes into the millions, and the
-kernel drowns in per-grid-step overhead (measured 0.036 Gnnz/s).  SlabELL
-inverts the layout: one grid step per *row block* (RB = 32 rows), which DMAs
-a single contiguous **x slab** — the (S × 128)-window range covering every
-column the block touches — and loops the S windows in-kernel, doing one
-(RB × 128) ``take_along_axis`` gather per window (Mosaic's vector gather is
-exactly 128 lanes wide — wider shapes fail to compile; probed empirically).
-Per-slot partial products accumulate in registers and reduce once at the end.
+kernel drowns in per-grid-step overhead.  A first SlabELL cut kept the CSR
+row-major ELL layout and swept all S windows of the block's slab with masked
+gathers — measured compute-bound at ~6 ops × S per stored entry (the mask
+sweep, not the gather, dominates), with the misaligned (rows, K) trailing
+dim halving DMA bandwidth on top.
 
-Layout (ELL within the block):
-* ``vals``/``lidx``: (n_rb, RB, K) — K = max nnz/row, ``lidx`` = column
-  − 128·win_lo[rb] (slab-local), padding slots (val 0, lidx 0);
-* ``win_lo``: (n_rb,) first 128-column window of each block's span;
-* ``slab_windows`` (static S): max window span over blocks — matrices with a
-  bounded bandwidth keep S small; a single full-width row blows S up, so
-  ``from_csr`` reports the span for dispatch decisions.
+This layout removes both costs:
 
-Traffic per SpMV ≈ ELL bytes (n·K·8) + one slab per block (bandwidth-bound
-re-read factor = S·128·RB⁻¹ per row) — for a ±2048-band matrix at RB=32
-that is ~2 slabs of x per 32 rows, a ~150× win over the serialized XLA
-gather stream.
+* **window buckets** — each block's entries are regrouped by the 128-column
+  window they fall in.  The kernel loops the S buckets and processes each
+  with ONE unmasked 128-lane gather + FMA per sublane group: no window
+  masking at all.  Bucket heights are static (global max per window,
+  rounded to the 8-sublane granule), so padding replaces masking.
+* **transposed tiles** — ``vals``/``lidx`` are (n_rb, C, RB) with the
+  row-block on the 128-lane axis (RB a multiple of 128), so every DMA is
+  lane-aligned.
+* **x resident in VMEM** — the operand vector is reshaped to (n_win, 128)
+  windows and passed as a whole-array block; each bucket reads its window
+  by one dynamic sublane slice (``win_lo[block] + w``), so there is no
+  per-step manual DMA or semaphore traffic.
+
+Traffic per SpMV ≈ C/K × ELL bytes (the bucket-padding inflation, typically
+1.5-3× for banded scatter) but the kernel does ~4 vector ops per stored
+slot instead of ~6 × S — on pwtk-like matrices this is the difference
+between compute-bound at 7% of the HBM roofline and bandwidth-bound.
 """
 
 from __future__ import annotations
@@ -37,71 +43,111 @@ import numpy as np
 
 from .base import SparseFormat, array_field, register_format, static_field
 
-SLAB_ROW_BLOCK = 32
+SLAB_ROW_BLOCK = 256
 WINDOW = 128
+SUBLANE = 8
 
 
 @register_format
 @dataclasses.dataclass(frozen=True)
 class SlabELL(SparseFormat):
-    """Frozen slab-windowed ELL matrix (host-built)."""
+    """Frozen slab-windowed matrix (host-built).
+
+    ``vals``/``lidx``: (n_rb, C, RB) transposed tiles — the C axis is the
+    concatenation of S window buckets whose static (offset, height) ranges
+    are ``buckets``; ``lidx`` is the column within the bucket's window
+    (0..127, padding slots 0 with val 0); ``win_lo``: (n_rb,) first window
+    of each block's slab.
+    """
 
     vals: jax.Array = array_field()
     lidx: jax.Array = array_field()
     win_lo: jax.Array = array_field()
     shape: Tuple[int, int] = static_field()
-    slab_windows: int = static_field()
+    #: ((offset, height), ...) per slab window — offsets into the C axis
+    buckets: Tuple[Tuple[int, int], ...] = static_field()
 
     @classmethod
     def from_csr(cls, csr, rb: int = SLAB_ROW_BLOCK) -> "SlabELL":
-        """Host-side freeze.  Columns within each row must be (and are, for
-        canonical CSR) sorted; the slab is the window range of the block."""
+        """Host-side freeze.  ``rb`` must be a multiple of 128 (the tile
+        lane width).  Columns within each row must be (and are, for
+        canonical CSR) sorted, so a row's slots per window are consecutive."""
+        if rb % WINDOW:
+            raise ValueError(f"rb must be a multiple of {WINDOW}, got {rb}")
         n_rows, n_cols = csr.shape
         indptr = csr.host("indptr").astype(np.int64)
         indices = csr.host("indices").astype(np.int64)
         data = csr.host("data")
         nnz = int(indptr[-1])
-        counts = np.diff(indptr)
-        k = max(int(counts.max(initial=0)), 1)
         n_rb = max(-(-n_rows // rb), 1)
 
-        vals = np.zeros((n_rb * rb, k), data.dtype)
-        cols = np.zeros((n_rb * rb, k), np.int64)
-        valid = np.zeros((n_rb * rb, k), bool)
-        if nnz:
-            rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
-            slot = np.arange(nnz) - np.repeat(indptr[:-1], counts)
-            vals[rows, slot] = data[:nnz]
-            cols[rows, slot] = indices[:nnz]
-            valid[rows, slot] = True
-        bvals = vals.reshape(n_rb, rb, k)
-        bcols = cols.reshape(n_rb, rb, k)
-        bvalid = valid.reshape(n_rb, rb, k)
-        # slab range over REAL entries only (padding slots/rows excluded)
-        big = np.iinfo(np.int64).max
-        cmin = np.where(bvalid, bcols, big).min(axis=(1, 2))
-        cmax = np.where(bvalid, bcols, -1).max(axis=(1, 2))
-        any_valid = bvalid.any(axis=(1, 2))
-        lo = np.where(any_valid, cmin // WINDOW, 0).astype(np.int64)
-        hi = np.where(any_valid, cmax // WINDOW, 0)
+        if nnz == 0:
+            return cls(vals=jnp.zeros((n_rb, SUBLANE, rb), data.dtype),
+                       lidx=jnp.zeros((n_rb, SUBLANE, rb), jnp.int32),
+                       win_lo=jnp.zeros((n_rb,), jnp.int32),
+                       shape=(n_rows, n_cols),
+                       buckets=((0, SUBLANE),))
+
+        counts = np.diff(indptr)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        blk = rows // rb
+        lrow = (rows % rb).astype(np.int64)
+        win = indices // WINDOW
+
+        # slab base per block over REAL entries
+        lo = np.full(n_rb, np.iinfo(np.int64).max)
+        np.minimum.at(lo, blk, win)
+        hi = np.zeros(n_rb, np.int64)
+        np.maximum.at(hi, blk, win)
+        lo[lo == np.iinfo(np.int64).max] = 0
         s = int((hi - lo).max(initial=0)) + 1
-        # padding slots point at the slab base (lidx 0) so they stay in range
-        bcols = np.where(bvalid, bcols, (lo * WINDOW)[:, None, None])
-        lidx = (bcols - (lo * WINDOW)[:, None, None]).astype(np.int32)
-        return cls(vals=jnp.asarray(bvals), lidx=jnp.asarray(lidx),
+
+        w_rel = win - lo[blk]                      # slab window ∈ [0, S)
+        # rank of each entry within its (row, window) group: rows are
+        # column-sorted, so groups are consecutive runs
+        boundary = np.empty(nnz, bool)
+        boundary[0] = True
+        boundary[1:] = (rows[1:] != rows[:-1]) | (w_rel[1:] != w_rel[:-1])
+        idx = np.arange(nnz, dtype=np.int64)
+        run_start = idx[boundary]
+        rank = idx - run_start[np.cumsum(boundary) - 1]
+
+        # static bucket heights: global max rank per slab window, 8-rounded
+        heights = np.zeros(s, np.int64)
+        np.maximum.at(heights, w_rel, rank + 1)
+        heights = -(-heights // SUBLANE) * SUBLANE
+        heights = np.maximum(heights, SUBLANE)
+        offs = np.concatenate([[0], np.cumsum(heights)])
+        c_total = int(offs[-1])
+
+        vals_t = np.zeros((n_rb, c_total, rb), data.dtype)
+        lidx_t = np.zeros((n_rb, c_total, rb), np.int32)
+        cpos = offs[w_rel] + rank
+        vals_t[blk, cpos, lrow] = data[:nnz]
+        lidx_t[blk, cpos, lrow] = (indices % WINDOW).astype(np.int32)
+        buckets = tuple((int(offs[w]), int(heights[w])) for w in range(s))
+        return cls(vals=jnp.asarray(vals_t), lidx=jnp.asarray(lidx_t),
                    win_lo=jnp.asarray(lo.astype(np.int32)),
-                   shape=(n_rows, n_cols), slab_windows=s)
+                   shape=(n_rows, n_cols), buckets=buckets)
 
     # -- canonical views ------------------------------------------------------
+    def _window_of_cpos(self) -> np.ndarray:
+        """Static (C,) slab-window id per C-axis position."""
+        w_of = np.zeros(self.c_total, np.int32)
+        for w, (o, h) in enumerate(self.buckets):
+            w_of[o : o + h] = w
+        return w_of
+
     def to_coo(self):
         from .coo import COO
 
-        n_rb, rb, k = self.vals.shape
+        n_rb, c, rb = self.vals.shape
         n_rows = self.shape[0]
-        rows = (jnp.arange(n_rb * rb, dtype=jnp.int32)
-                .reshape(n_rb, rb)[:, :, None])
-        cols = self.lidx.astype(jnp.int32) + (
-            self.win_lo[:, None, None].astype(jnp.int32) * WINDOW)
+        w_of = jnp.asarray(self._window_of_cpos())
+        cols = (self.lidx.astype(jnp.int32)
+                + (self.win_lo[:, None, None] + w_of[None, :, None]) * WINDOW)
+        rows = (jnp.arange(n_rb, dtype=jnp.int32)[:, None, None] * rb
+                + jnp.arange(rb, dtype=jnp.int32)[None, None, :])
         rows = jnp.broadcast_to(rows, self.vals.shape).reshape(-1)
         cols = cols.reshape(-1)
         vals = self.vals.reshape(-1)
@@ -120,15 +166,19 @@ class SlabELL(SparseFormat):
 
     @property
     def row_block(self) -> int:
-        return int(self.vals.shape[1])
+        return int(self.vals.shape[2])
 
     @property
     def n_row_blocks(self) -> int:
         return int(self.vals.shape[0])
 
     @property
-    def k(self) -> int:
-        return int(self.vals.shape[2])
+    def c_total(self) -> int:
+        return int(self.vals.shape[1])
+
+    @property
+    def slab_windows(self) -> int:
+        return len(self.buckets)
 
     @property
     def index_dtype(self):
@@ -149,6 +199,10 @@ class SlabELL(SparseFormat):
         n = int(np.asarray(self.n_non_zero_entries()))
         return n / max(self.nse, 1)
 
-    def slab_bytes(self) -> int:
-        """VMEM footprint of one x slab (dispatch guard)."""
-        return self.slab_windows * WINDOW * 4
+    def x_windows(self) -> int:
+        """Windows of the operand vector incl. slab overrun slack."""
+        return -(-self.shape[1] // WINDOW) + self.slab_windows
+
+    def x_bytes(self, itemsize: int = 4) -> int:
+        """VMEM footprint of the resident operand vector (dispatch guard)."""
+        return self.x_windows() * WINDOW * itemsize

@@ -128,20 +128,18 @@ def spmv_pallas(mat, x: jax.Array) -> jax.Array:
     return well_spmv_pallas(well, x)
 
 
-# --- SlabELL: scattered rows with bounded span (see formats/slab.py) ----------
+# --- SlabELL: window-bucketed slabs (see formats/slab.py) --------------------
 
+from ..formats.slab import SUBLANE, SlabELL  # noqa: E402
 from ..formats.slab import WINDOW as SLAB_WINDOW  # noqa: E402
-from ..formats.slab import SlabELL  # noqa: E402
 
-#: grid chunk bound: win_lo scalar-prefetch array must fit in SMEM
+#: grid chunk bound: the win_lo scalar-prefetch array must fit in SMEM
 _SLAB_MAX_BLOCKS_PER_CALL = 60_000
 
 
 def _slab_x_windows(sl: SlabELL, x: jax.Array):
-    """Pad x so every block's slab [win_lo, win_lo+S) is in range, reshaped
-    to (n_win, 128)."""
-    n_win_data = -(-sl.shape[1] // SLAB_WINDOW)
-    n_win = n_win_data + sl.slab_windows  # slack so win_lo + S never overruns
+    """Pad x so ``win_lo + w`` never overruns, reshaped to (n_win, 128)."""
+    n_win = sl.x_windows()
     xp = jnp.pad(x, (0, n_win * SLAB_WINDOW - x.shape[0]))
     return xp.reshape(n_win, SLAB_WINDOW)
 
@@ -150,10 +148,11 @@ def slab_spmv_xla(sl: SlabELL, x: jax.Array) -> jax.Array:
     """XLA reference implementation (CPU fallback / correctness oracle)."""
     n_rows = sl.shape[0]
     adt = accum_dtype(jnp.result_type(sl.vals.dtype, x.dtype))
+    w_of = jnp.asarray(sl._window_of_cpos())
     cols = sl.lidx.astype(jnp.int32) + (
-        sl.win_lo[:, None, None].astype(jnp.int32) * SLAB_WINDOW)
+        sl.win_lo[:, None, None] + w_of[None, :, None]) * SLAB_WINDOW
     xg = x.at[cols].get(mode="fill", fill_value=0)
-    y = jnp.sum(sl.vals.astype(adt) * xg.astype(adt), axis=2)
+    y = jnp.sum(sl.vals.astype(adt) * xg.astype(adt), axis=1)  # (n_rb, rb)
     return y.reshape(-1)[:n_rows]
 
 
@@ -161,71 +160,44 @@ def slab_spmv_pallas(sl: SlabELL, x: jax.Array, *,
                      interpret: bool = False) -> jax.Array:
     """Pallas TPU kernel: one grid step per RB-row block.
 
-    The x slab lives at an arbitrary window offset (``win_lo[i]``), which
-    BlockSpec's block-granular indexing cannot express — so x stays in
-    ``ANY`` (HBM) and the kernel issues one exact async copy
-    ``x[win_lo*128 : (win_lo+S)*128] → VMEM scratch`` per step, double
-    buffered: step i starts the copy for step i+1's slab before waiting on
-    its own, overlapping the slab fetch with the window-loop compute.  The
-    in-kernel loop then does one (RB × 128) ``take_along_axis`` gather per
-    window (Mosaic vector gathers are exactly 128 lanes wide), accumulating
-    per-slot partials that reduce once at the end."""
+    The operand vector lives whole in VMEM as (n_win, 128) windows (full-
+    array BlockSpec — loaded once, revisited every step).  Per step the
+    kernel loops the block's static window ``buckets``: one dynamic sublane
+    slice pulls the bucket's x window (``win_lo[i] + w``), one 128-lane
+    ``take_along_axis`` gathers per sublane group, and the FMA accumulates
+    into an (8, 128) register tile per lane chunk — no window masking, no
+    manual DMA.  Tiles are transposed (C, RB) so every block DMA is
+    lane-aligned."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_rows = sl.shape[0]
     rb = sl.row_block
-    k = sl.k
-    s = sl.slab_windows
+    c = sl.c_total
     n_rb = sl.n_row_blocks
+    buckets = sl.buckets
     adt = accum_dtype(jnp.result_type(sl.vals.dtype, x.dtype))
-    k2 = -(-k // SLAB_WINDOW) * SLAB_WINDOW  # in-register pad target
-    xw = _slab_x_windows(sl, x.astype(adt))  # (n_win, 128)
+    xw = _slab_x_windows(sl, x.astype(adt))      # (n_win, 128)
+    n_win = int(xw.shape[0])
     vals_all = sl.vals.astype(adt)
+    nlc = rb // SLAB_WINDOW
 
-    def kernel(wl_ref, vals_ref, lidx_ref, x_hbm, o_ref, slab, sem):
+    def kernel(wl_ref, vals_ref, lidx_ref, x_ref, o_ref):
         i = pl.program_id(0)
-        nsteps = pl.num_programs(0)
-
-        def start_fetch(step, slot):
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(wl_ref[step], s), :], slab.at[slot],
-                sem.at[slot])
-
-        @pl.when(i == 0)
-        def _():
-            start_fetch(0, 0).start()
-
-        @pl.when(i + 1 < nsteps)
-        def _():
-            start_fetch(i + 1, (i + 1) % 2).start()
-
-        start_fetch(i, i % 2).wait()
-
-        v = vals_ref[0]                                   # (RB, K)
-        li = lidx_ref[0]                                  # (RB, K)
-        if k2 > k:
-            # pad slots get lidx -1: window test (-1 // 128 == -1) never hits
-            li = jnp.pad(li, ((0, 0), (0, k2 - k)), constant_values=-1)
-            v = jnp.pad(v, ((0, 0), (0, k2 - k)))
-        acc0 = jnp.zeros((rb, SLAB_WINDOW), adt)
-        slot = i % 2
-
-        def wbody(w, acc):
-            xrow = slab[slot, pl.ds(w, 1), :]
-            xb = jnp.broadcast_to(xrow, (rb, SLAB_WINDOW))
-            for kc in range(k2 // SLAB_WINDOW):
-                li_c = li[:, kc * SLAB_WINDOW:(kc + 1) * SLAB_WINDOW]
-                v_c = v[:, kc * SLAB_WINDOW:(kc + 1) * SLAB_WINDOW]
-                sel = (li_c // SLAB_WINDOW) == w
-                idxw = jnp.where(sel, li_c % SLAB_WINDOW, 0)
-                g = jnp.take_along_axis(xb, idxw, axis=1)
-                acc = acc + jnp.where(sel, v_c, 0) * g
-            return acc
-
-        acc = jax.lax.fori_loop(0, s, wbody, acc0)
-        # output carried (nb, 1, RB) so the block's trailing dims are full
-        o_ref[0, 0] = jnp.sum(acc, axis=1)
+        wlo = wl_ref[i]
+        for j in range(nlc):
+            acc = jnp.zeros((SUBLANE, SLAB_WINDOW), adt)
+            for w, (o, h) in enumerate(buckets):
+                xrow = x_ref[pl.ds(wlo + w, 1), :]            # (1, 128)
+                v = vals_ref[0, o:o + h, j * 128:(j + 1) * 128]
+                li = lidx_ref[0, o:o + h, j * 128:(j + 1) * 128]
+                xb = jnp.broadcast_to(xrow, (h, SLAB_WINDOW))
+                g = jnp.take_along_axis(xb, li, axis=1)
+                prod = v * g                                  # (h, 128)
+                acc = acc + prod.reshape(
+                    h // SUBLANE, SUBLANE, SLAB_WINDOW).sum(axis=0)
+            # per-lane-chunk store (1-D concatenate is unsupported in Mosaic)
+            o_ref[0, 0, j * 128:(j + 1) * 128] = jnp.sum(acc, axis=0)
 
     outs = []
     for cs in range(0, n_rb, _SLAB_MAX_BLOCKS_PER_CALL):
@@ -235,15 +207,11 @@ def slab_spmv_pallas(sl: SlabELL, x: jax.Array, *,
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, rb, k), lambda i, wl: (i, 0, 0)),
-                pl.BlockSpec((1, rb, k), lambda i, wl: (i, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, c, rb), lambda i, wl: (i, 0, 0)),
+                pl.BlockSpec((1, c, rb), lambda i, wl: (i, 0, 0)),
+                pl.BlockSpec((n_win, SLAB_WINDOW), lambda i, wl: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, rb), lambda i, wl: (i, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, s, SLAB_WINDOW), adt),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
         )
         y = pl.pallas_call(
             kernel,
@@ -251,9 +219,9 @@ def slab_spmv_pallas(sl: SlabELL, x: jax.Array, *,
             out_shape=jax.ShapeDtypeStruct((nb, 1, rb), adt),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=2 * nb * rb * k,
-                bytes_accessed=int(nb * rb * k * 8
-                                   + nb * s * SLAB_WINDOW * 4 + nb * rb * 4),
+                flops=2 * nb * c * rb,
+                bytes_accessed=int(nb * c * rb * 8
+                                   + n_win * SLAB_WINDOW * 4 + nb * rb * 4),
                 transcendentals=0),
         )(sl.win_lo[cs:ce], vals_all[cs:ce], sl.lidx[cs:ce], xw)
         outs.append(y.reshape(-1))

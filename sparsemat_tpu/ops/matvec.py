@@ -102,8 +102,9 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
         from ..kernels.spmv import slab_spmv_pallas, slab_spmv_xla
 
         sl = mat if isinstance(mat, SlabELL) else mat.to_slab()
-        # VMEM guard: one x slab must fit comfortably on chip
-        if _on_tpu() and sl.slab_bytes() <= 8 * 1024 * 1024:
+        # VMEM guard: resident x windows + one double-buffered tile pair
+        vmem_need = sl.x_bytes() + 4 * sl.c_total * sl.row_block * 8
+        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
             return slab_spmv_pallas(sl, x)
         return slab_spmv_xla(sl, x)
     if isinstance(mat, WELL) or method == "well":

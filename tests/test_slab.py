@@ -29,7 +29,7 @@ def test_slab_roundtrip(n, k, band):
     sl = smt.CSR.from_scipy(m).to_slab()
     np.testing.assert_allclose(np.asarray(sl.todense()), m.toarray(), rtol=1e-6)
     assert int(sl.n_non_zero_entries()) == m.nnz
-    assert sl.slab_windows <= 2 * band // 128 + 2
+    assert sl.slab_windows <= (sl.row_block + 2 * band) // 128 + 2
 
 
 def test_slab_xla_spmv():
@@ -40,10 +40,10 @@ def test_slab_xla_spmv():
     np.testing.assert_allclose(np.asarray(y), m @ x, atol=1e-4)
 
 
-@pytest.mark.parametrize("n,k,band,rb", [(400, 9, 50, 32), (300, 5, 200, 8),
-                                         (260, 140, 20, 32)])
+@pytest.mark.parametrize("n,k,band,rb", [(400, 9, 50, 128), (300, 5, 200, 128),
+                                         (260, 140, 20, 256)])
 def test_slab_pallas_interpret(n, k, band, rb):
-    # k=140 exercises the multi-pass K > 128 path
+    # k=140 exercises tall multi-bucket C; rb=256 the multi-lane-chunk path
     m = scattered_band(n, k, band, seed=3)
     sl = SlabELL.from_csr(smt.CSR.from_scipy(m), rb=rb)
     x = np.random.default_rng(4).standard_normal(n).astype(np.float32)
@@ -72,9 +72,9 @@ def test_slab_grid_chunking():
     # force multiple pallas_calls by lowering the per-call block bound
     from sparsemat_tpu.kernels import spmv as kmod
 
-    m = scattered_band(256, 5, 20, seed=6)
-    sl = SlabELL.from_csr(smt.CSR.from_scipy(m), rb=8)  # 32 blocks
-    x = np.random.default_rng(7).standard_normal(256).astype(np.float32)
+    m = scattered_band(4096, 5, 20, seed=6)
+    sl = SlabELL.from_csr(smt.CSR.from_scipy(m), rb=128)  # 32 blocks
+    x = np.random.default_rng(7).standard_normal(4096).astype(np.float32)
     old = kmod._SLAB_MAX_BLOCKS_PER_CALL
     try:
         kmod._SLAB_MAX_BLOCKS_PER_CALL = 10
@@ -97,3 +97,20 @@ def test_slab_dispatch_and_checkpoint(tmp_path):
     back = checkpoint.load_matrix(p)
     np.testing.assert_allclose(np.asarray(back.todense()), m.toarray(),
                                rtol=1e-6)
+
+
+def test_slab_rb_must_be_lane_multiple():
+    m = scattered_band(64, 3, 5)
+    with pytest.raises(ValueError):
+        SlabELL.from_csr(smt.CSR.from_scipy(m), rb=32)
+
+
+def test_slab_bucket_invariants():
+    m = scattered_band(500, 11, 60, seed=1)
+    sl = smt.CSR.from_scipy(m).to_slab()
+    offs = [o for o, _ in sl.buckets]
+    hts = [h for _, h in sl.buckets]
+    assert offs == list(np.cumsum([0] + hts[:-1]))
+    assert all(h % 8 == 0 for h in hts)
+    assert sl.c_total == sum(hts)
+    assert sl.vals.shape == (sl.n_row_blocks, sl.c_total, sl.row_block)
