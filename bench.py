@@ -311,6 +311,31 @@ def main():
     log(f"  banded_16M/dia: {dt*1e6:.1f} us/spmv  {big_nnz_s/1e9:.3f} Gnnz/s "
         f"→ {100*big_frac:.1f}% of HBM roofline (sampled check err {err:.1e})")
 
+    # scattered bounded-span regime (SuiteSparse/FEM stand-in, BASELINE
+    # configs 4-5): 218k rows × ~55 random entries in a ±200 band →
+    # SlabELL window buckets
+    rng = np.random.default_rng(0)
+    n_sc, k_sc, band = 217_918, 55, 200
+    rr = np.repeat(np.arange(n_sc), k_sc)
+    cc = rr + rng.integers(-band, band + 1, size=rr.shape)
+    ok = (cc >= 0) & (cc < n_sc)
+    import scipy.sparse as sp
+
+    scat = sp.coo_matrix(
+        (rng.standard_normal(int(ok.sum())).astype(np.float32),
+         (rr[ok], cc[ok])), shape=(n_sc, n_sc)).tocsr()
+    scat.sum_duplicates()
+    slab = smt.CSR.from_scipy(scat).to_slab()
+    x_sc = jnp.asarray(rng.standard_normal(n_sc).astype(np.float32))
+    y_sc = jax.jit(smt.spmv)(slab, x_sc)
+    err_sc = np.abs(np.asarray(y_sc) - scat @ np.asarray(x_sc)).max()
+    dt_sc = time_chained(lambda v, m: smt.spmv(m, v) * 5e-4, x_sc,
+                         captures=(slab,))
+    scat_nnz_s = scat.nnz / dt_sc
+    log(f"  scattered_218k/slab: {dt_sc*1e6:.1f} us/spmv  "
+        f"{scat_nnz_s/1e9:.3f} Gnnz/s (S={slab.slab_windows}, "
+        f"pad x{slab.nse/scat.nnz:.2f}, abs err {err_sc:.1e})")
+
     cg_small_ips, _ = bench_cg(hbm_bw, n=512)        # VMEM regime
     cg_big_ips, cg_big_frac = bench_cg(hbm_bw, n=2048)  # HBM regime, 4.2M rows
 
@@ -322,6 +347,7 @@ def main():
         "detail": {
             "spmv_banded_16M_gnnz_per_s": round(big_nnz_s / 1e9, 3),
             "spmv_banded_1e4_gnnz_per_s": round(small_nnz_s / 1e9, 3),
+            "spmv_scattered_218k_gnnz_per_s": round(scat_nnz_s / 1e9, 3),
             "cg_poisson_262k_iters_per_s": round(cg_small_ips, 1),
             "cg_poisson_4M_iters_per_s": round(cg_big_ips, 1),
             "cg_poisson_4M_roofline_frac": round(cg_big_frac, 4),
