@@ -20,6 +20,7 @@ from . import checkpoint, formats, io, ops, solvers, vectors
 from .builder import PartitionedBuilder, SparseBuilder
 from .solvers import (
     BiCGStab,
+    BlockJacobiPreconditioner,
     ConjugateGradient,
     GMRES,
     Jacobi,
@@ -54,7 +55,8 @@ __all__ = [
     "SparseFormat", "auto_format",
     "SparseBuilder", "PartitionedBuilder",
     "ConjugateGradient", "Jacobi", "BiCGStab", "GMRES",
-    "JacobiPreconditioner", "SolveInfo", "solvers",
+    "JacobiPreconditioner", "BlockJacobiPreconditioner",
+    "SolveInfo", "solvers",
     "DimensionError",
     "spmv", "spmm", "spgemm", "rmatvec",
     "add", "sub", "transpose", "inner_prod", "is_symmetric",

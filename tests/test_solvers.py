@@ -154,3 +154,33 @@ def test_divergence_reports_not_raises():
     assert not bool(info.converged)
     assert int(info.iterations) == 5
     assert np.isfinite(float(info.residual_norm))
+
+
+def test_block_jacobi_preconditioner():
+    # PCG with block-Jacobi must converge in fewer iterations than plain CG
+    lap = poisson2d(20).astype(np.float32)
+    dense = lap.toarray()
+    A = smt.CSR.from_scipy(lap)
+    b = np.ones(400, np.float32)
+    x_plain, info_plain = smt.solvers.cg(A, b, tol=1e-6)
+    M = smt.BlockJacobiPreconditioner.from_matrix(A, block_size=64)
+    x_pc, info_pc = smt.solvers.cg(A, b, tol=1e-6, M=M)
+    assert bool(info_pc.converged)
+    assert int(info_pc.iterations) < int(info_plain.iterations)
+    ref = np.linalg.solve(dense.astype(np.float64), b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(x_pc), ref, atol=5e-2)
+
+
+def test_block_jacobi_empty_rows_and_tail():
+    # block inverse must exist with structurally-empty rows + ragged tail
+    n = 70
+    d = np.zeros((n, n), np.float32)
+    for i in range(0, n, 2):
+        d[i, i] = 2.0 + i % 3
+    import scipy.sparse as sp
+    A = smt.CSR.from_scipy(sp.csr_matrix(d))
+    M = smt.BlockJacobiPreconditioner.from_matrix(A, block_size=32)
+    r = np.arange(n, dtype=np.float32)
+    z = np.asarray(M.apply(jnp.asarray(r)))
+    expect = np.where(np.diag(d) != 0, r / np.where(np.diag(d) == 0, 1, np.diag(d)), r)
+    np.testing.assert_allclose(z, expect, rtol=1e-5)
