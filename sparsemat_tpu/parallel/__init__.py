@@ -17,11 +17,12 @@ decomposition (sparsemat_par.rs:20-35) maps onto a ``jax.sharding.Mesh``:
   matvec and sharded vectors.
 """
 
-from .dist import DistCSR, DistDIA, DistELL, distribute_csr, distribute_dia
+from .dist import (DistCSR, DistDIA, DistELL, DistSlab, distribute_csr,
+                   distribute_dia, distribute_slab)
 from .mesh import make_mesh, row_sharding
 
 __all__ = [
-    "DistDIA", "DistCSR", "DistELL",
-    "distribute_dia", "distribute_csr",
+    "DistDIA", "DistCSR", "DistELL", "DistSlab",
+    "distribute_dia", "distribute_csr", "distribute_slab",
     "make_mesh", "row_sharding",
 ]

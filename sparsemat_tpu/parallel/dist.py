@@ -333,3 +333,139 @@ def dist_ell_spmv(mat: DistELL, x: jax.Array, mesh: Mesh) -> jax.Array:
         local, mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None, None), P(axis)),
         out_specs=P(axis))(mat.cols, mat.vals, x)
+
+
+# --- DistSlab ----------------------------------------------------------------
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class DistSlab:
+    """Scattered bounded-span matrix (SlabELL), block-row partitioned.
+
+    Each device owns ``blocks_per_dev`` row blocks of a global SlabELL
+    freeze; ``win_lo`` is pre-shifted into *local extended-x window*
+    coordinates so the kernel needs no device-id arithmetic.  SpMV
+    exchanges ``halo_windows`` 128-column window edges with the two
+    neighbor chips (``lax.ppermute``) — ICI traffic per step is
+    O(halo), not O(n), the scattered-matrix analogue of DistDIA's
+    banded halo exchange."""
+
+    vals: jax.Array = array_field()      # (n_dev, nrb_l, C, RB)
+    lidx: jax.Array = array_field()      # (n_dev, nrb_l, C, RB)
+    win_lo: jax.Array = array_field()    # (n_dev, nrb_l) local ext coords
+    shape: Tuple[int, int] = static_field()
+    buckets: Tuple[Tuple[int, int], ...] = static_field()
+    halo_windows: int = static_field()
+    local_windows: int = static_field()
+    axis: str = static_field()
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def rows_per_block(self) -> int:
+        return self.local_windows * 128
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_blocks * self.rows_per_block
+
+    padded_vector = DistDIA.padded_vector
+    unpad = DistDIA.unpad
+
+    def matvec(self, x: jax.Array, mesh: Mesh) -> jax.Array:
+        return dist_slab_spmv(self, x, mesh)
+
+
+def distribute_slab(csr, mesh: Mesh, axis: str = ROWS_AXIS,
+                    rb: int | None = None) -> DistSlab:
+    """Partition a matrix over the mesh as window-bucketed slabs
+    (host-side).  One global SlabELL freeze (uniform static buckets across
+    devices), regrouped into per-device block runs."""
+    from ..formats.slab import SLAB_ROW_BLOCK, WINDOW, SlabELL
+
+    rb = rb or SLAB_ROW_BLOCK
+    n_dev = mesh.shape[axis]
+    n_rows, n_cols = csr.shape
+    # rows per device: a multiple of the row block (rb is a 128-multiple)
+    r = -(-(-(-n_rows // n_dev)) // rb) * rb
+    sl = SlabELL.from_csr(csr, rb=rb)
+    nrb_total = n_dev * (r // rb)
+    pad_blocks = nrb_total - sl.n_row_blocks
+    vals = np.asarray(sl.vals)
+    lidx = np.asarray(sl.lidx)
+    wlo = np.asarray(sl.win_lo).astype(np.int64)
+    if pad_blocks:
+        vals = np.concatenate(
+            [vals, np.zeros((pad_blocks,) + vals.shape[1:], vals.dtype)])
+        lidx = np.concatenate(
+            [lidx, np.zeros((pad_blocks,) + lidx.shape[1:], lidx.dtype)])
+        wlo = np.concatenate([wlo, np.zeros(pad_blocks, wlo.dtype)])
+    nrb_l = r // rb
+    w_l = r // WINDOW
+    s = sl.slab_windows
+    dev = np.arange(nrb_total) // nrb_l
+    # halo: how far any block's slab reaches outside its device's x shard
+    h = int(max(0,
+                (dev * w_l - wlo).max(initial=0),
+                (wlo + s - (dev + 1) * w_l).max(initial=0)))
+    wlo_local = wlo - dev * w_l + h
+    spec3 = NamedSharding(mesh, P(axis, None, None, None))
+    spec1 = NamedSharding(mesh, P(axis, None))
+    return DistSlab(
+        vals=jax.device_put(jnp.asarray(vals.reshape((n_dev, nrb_l) + vals.shape[1:])), spec3),
+        lidx=jax.device_put(jnp.asarray(lidx.reshape((n_dev, nrb_l) + lidx.shape[1:])), spec3),
+        win_lo=jax.device_put(
+            jnp.asarray(wlo_local.reshape(n_dev, nrb_l).astype(np.int32)), spec1),
+        shape=csr.shape, buckets=sl.buckets, halo_windows=h,
+        local_windows=w_l, axis=axis)
+
+
+def dist_slab_spmv(mat: DistSlab, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """y = A @ x with window-halo exchange.  ``x`` must be the padded
+    sharded vector (``padded_vector``); returns the padded sharded result.
+
+    Wrap-around halo garbage at the first/last device is only referenced
+    by padding slots (val 0), so no boundary masking is needed — the same
+    argument as DistDIA."""
+    from ..formats.slab import WINDOW, SlabELL
+    from ..kernels.spmv import slab_spmv_pallas, slab_spmv_xla
+
+    h = mat.halo_windows
+    w_l = mat.local_windows
+    n_dev = mat.n_blocks
+    r = mat.rows_per_block
+    axis = mat.axis
+    buckets = mat.buckets
+    if h > w_l:
+        raise ValueError(
+            f"halo ({h} windows) exceeds the local shard ({w_l} windows) — "
+            f"use DistELL (all-gather) for this span/mesh combination")
+    use_pallas = jax.default_backend() == "tpu"
+
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    hx = h * WINDOW
+
+    def local(vals_blk, lidx_blk, wl_blk, x_blk):
+        if h > 0 and n_dev > 1:
+            left = jax.lax.ppermute(x_blk[r - hx:], axis, fwd)
+            right = jax.lax.ppermute(x_blk[:hx], axis, bwd)
+            x_ext = jnp.concatenate([left, x_blk, right])
+        elif h > 0:
+            x_ext = jnp.pad(x_blk, (hx, hx))
+        else:
+            x_ext = x_blk
+        sl = SlabELL(vals=vals_blk[0], lidx=lidx_blk[0], win_lo=wl_blk[0],
+                     shape=(r, x_ext.shape[0]), buckets=buckets)
+        if use_pallas:
+            return slab_spmv_pallas(sl, x_ext)
+        return slab_spmv_xla(sl, x_ext)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None, None), P(axis, None, None, None),
+                  P(axis, None), P(axis)),
+        out_specs=P(axis))(mat.vals, mat.lidx, mat.win_lo, x)
