@@ -4,12 +4,16 @@ The XLA padded-slice formulation (formats/dia.py) re-materializes shifted
 copies of x per diagonal; measured at ~42% of the streaming roofline on a
 16M-row band.  This kernel restores the ideal traffic model: per grid step
 it streams one C-row chunk of every diagonal (auto-pipelined BlockSpec) and
-DMAs the matching x window (C + 2H halo) ONCE into VMEM scratch; all
-diagonal FMAs then read VMEM.  Traffic = diagonals + x + y, each exactly
-once.
+DMAs the matching x window (C + 2H halo) into a double-buffered VMEM
+scratch — step i starts step i+1's window copy before waiting on its own.
+Boundary chunks copy only the in-range part of the window and zero the
+halo edge in VMEM, so x is passed through UNPADDED (an H-shifted jnp.pad
+would cost a full extra read+write pass over x per SpMV).  Traffic =
+diagonals + x + y, each exactly once.
 
 f32 only (Mosaic has no f64 vector path); the dispatch falls back to the
-XLA formulation for other dtypes.
+XLA formulation for other dtypes and for halo/diagonal-count combinations
+whose buffers exceed the VMEM budget.
 """
 
 from __future__ import annotations
@@ -24,42 +28,132 @@ from ..formats.dia import DIA
 
 LANE = 128
 DEFAULT_CHUNK = 1 << 17  # rows per grid step (512 KB of x in f32)
+ALIGN = 1024             # 1-D VMEM/HBM slice tiling granule
+VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "n_rows", "chunk"))
-def _dia_spmv_pallas_impl(data, x, *, offsets, n_rows, chunk):
+def _plan(n_d: int, h: int, n_rows: int, chunk: int):
+    """Pick (H, C) so double-buffered diagonal blocks + x windows fit VMEM.
+    Returns None when they can't (huge halo) — caller falls back to XLA."""
+    H = _round_up(max(h, 1), ALIGN)
+    C = min(chunk, _round_up(n_rows, ALIGN))
+    # shrink the chunk until 2 diagonal blocks + 2 x windows fit
+    while C > ALIGN and 2 * n_d * C * 4 + 2 * (C + 2 * H) * 4 > VMEM_BUDGET:
+        C //= 2
+    C = _round_up(C, ALIGN)
+    if C < H and -(-n_rows // C) > 1:
+        C = H  # interior windows must start in-range (i*C - H >= 0 ⇒ H <= C)
+    if 2 * n_d * C * 4 + 2 * (C + 2 * H) * 4 > VMEM_BUDGET:
+        return None
+    return H, C
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "n_rows", "H", "C", "interpret"))
+def _dia_spmv_pallas_impl(data, x, *, offsets, n_rows, H, C,
+                          interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_d = data.shape[0]
-    h = max((abs(o) for o in offsets), default=0)
-    # 1-D VMEM/HBM slices must align to the (1024,) tiling: round the halo
-    # and chunk to 1024 so every DMA offset/length is tile-aligned
-    ALIGN = 1024
-    H = _round_up(max(h, 1), ALIGN)
-    C = min(chunk, _round_up(n_rows, ALIGN))
     n_chunks = -(-n_rows // C)
     n_pad = n_chunks * C
+    last = n_chunks - 1
 
-    # x laid out so chunk i's window is xp[i*C : i*C + C + 2H]:
-    # xp = [H zeros | x | pad to n_pad | H zeros]
-    xp = jnp.pad(x, (H, n_pad - n_rows + H))
-    datap = jnp.pad(data, ((0, 0), (0, n_pad - data.shape[1])))
+    # tail-only pads: identity (no copy) when n_rows is already C-aligned
+    xp = x if n_pad == n_rows else jnp.pad(x, (0, n_pad - n_rows))
+    datap = (data if n_pad == data.shape[1]
+             else jnp.pad(data, ((0, 0), (0, n_pad - data.shape[1]))))
+
+    B = C + 2 * H  # one x-window buffer (1024-aligned: C, H both are)
 
     def kernel(data_ref, x_hbm, o_ref, scratch, sem):
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * C, C + 2 * H)], scratch, sem)
-        cp.start()
-        cp.wait()
-        acc = jnp.zeros((C,), jnp.float32)
-        for d, off in enumerate(offsets):
-            acc = acc + data_ref[d] * scratch[off + H : off + H + C]
-        o_ref[0, 0] = acc
+
+        # Double-buffered x window in a flat (2B,) scratch; compute is
+        # parity-unrolled so vector reads use static tile-aligned slices.
+        # Edge chunks copy only the in-range part of [i*C-H, i*C+C+H).
+        def fetch_first(slot):
+            n = min(C + H, n_pad)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, n)],
+                scratch.at[pl.ds(slot * B + H, n)], sem.at[slot])
+
+        def fetch_interior(step, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(step * C - H, ALIGN), B)],
+                scratch.at[pl.ds(slot * B, B)], sem.at[slot])
+
+        def fetch_last(slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(last * C - H, ALIGN), C + H)],
+                scratch.at[pl.ds(slot * B, C + H)], sem.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            fetch_first(0).start()
+
+        if n_chunks > 2:  # interior chunks exist only for >= 3 chunks
+            @pl.when((i + 1 < last))
+            def _():
+                fetch_interior(i + 1, (i + 1) % 2).start()
+
+        if n_chunks > 1:
+            @pl.when(i + 1 == last)
+            def _():
+                fetch_last(last % 2).start()
+
+        # wait with the same descriptor shape that was started
+        @pl.when(i == 0)
+        def _():
+            fetch_first(0).wait()
+
+        if n_chunks > 2:
+            @pl.when((i > 0) & (i < last))
+            def _():
+                fetch_interior(i, i % 2).wait()
+
+        if n_chunks > 1:
+            @pl.when((i == last) & (i > 0))
+            def _():
+                fetch_last(last % 2).wait()
+
+        # zero the out-of-range halo edges the boundary copies skipped
+        @pl.when(i == 0)
+        def _():
+            scratch[0:H] = jnp.zeros((H,), jnp.float32)
+
+        if n_chunks == 1:
+            @pl.when(i == 0)
+            def _():
+                n = min(C + H, n_pad)
+                scratch[H + n: B] = jnp.zeros((B - H - n,), jnp.float32)
+        else:
+            base_last = (last % 2) * B
+
+            @pl.when(i == last)
+            def _():
+                scratch[base_last + H + C: base_last + B] = jnp.zeros(
+                    (H,), jnp.float32)
+
+        def compute(base):
+            acc = jnp.zeros((C,), jnp.float32)
+            for d, off in enumerate(offsets):
+                acc = acc + data_ref[d] * scratch[base + off + H
+                                                  : base + off + H + C]
+            o_ref[0, 0] = acc
+
+        @pl.when(i % 2 == 0)
+        def _():
+            compute(0)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            compute(B)
 
     y = pl.pallas_call(
         kernel,
@@ -71,9 +165,10 @@ def _dia_spmv_pallas_impl(data, x, *, offsets, n_rows, chunk):
         out_specs=pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 1, C), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C + 2 * H,), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2 * B,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_d * n_pad,
             bytes_accessed=int(datap.nbytes + xp.nbytes + n_pad * 4),
@@ -82,12 +177,21 @@ def _dia_spmv_pallas_impl(data, x, *, offsets, n_rows, chunk):
     return y.reshape(-1)[:n_rows]
 
 
-def dia_spmv_pallas(dia: DIA, x: jax.Array, chunk: int = DEFAULT_CHUNK):
+def dia_spmv_pallas(dia: DIA, x: jax.Array, chunk: int = DEFAULT_CHUNK,
+                    interpret: bool = False):
     """y = A @ x for a DIA matrix via the Pallas chunked kernel (f32)."""
     if dia.data.dtype != jnp.float32 or x.dtype != jnp.float32:
         from ..formats.dia import dia_spmv
 
         return dia_spmv(dia, x)
+    n_d = int(dia.data.shape[0])
+    h = max((abs(o) for o in dia.offsets), default=0)
+    plan = _plan(n_d, h, int(dia.shape[0]), int(chunk))
+    if plan is None:  # halo too large for VMEM double-buffering
+        from ..formats.dia import dia_spmv
+
+        return dia_spmv(dia, x)
+    H, C = plan
     return _dia_spmv_pallas_impl(
         dia.data, x, offsets=tuple(dia.offsets),
-        n_rows=int(dia.shape[0]), chunk=int(chunk))
+        n_rows=int(dia.shape[0]), H=H, C=C, interpret=interpret)

@@ -106,3 +106,24 @@ def test_well_chunked_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(y_chunked), np.asarray(y_ref),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(y_ref), dense @ x, atol=1e-4)
+
+
+def test_dia_pallas_kernel_edges_interpret():
+    # boundary-chunk edge handling of the Pallas DIA kernel (interpret mode):
+    # multi-chunk with unaligned tail, single chunk, tiny matrix
+    import scipy.sparse as sp
+
+    from sparsemat_tpu.kernels.dia import dia_spmv_pallas
+
+    rng = np.random.default_rng(3)
+    for n, offs, chunk in [(5000, (-130, -1, 0, 1, 130), 2048),
+                           (3000, (-2, 0, 2), 1 << 17),
+                           (1030, (-7, 0, 7), 1024)]:
+        diags = [rng.standard_normal(n - abs(o)).astype(np.float32)
+                 for o in offs]
+        m = sp.diags(diags, offs, shape=(n, n), format="csr")
+        A = smt.CSR.from_scipy(m).to_dia()
+        x = rng.standard_normal(n).astype(np.float32)
+        y = dia_spmv_pallas(A, jnp.asarray(x), chunk=chunk, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), m @ x, atol=1e-4,
+                                   err_msg=f"n={n} offs={offs}")
