@@ -1,0 +1,104 @@
+"""Randomized property tests: every format × every op against scipy/numpy
+oracles (the systematic replacement for the reference's hand-built 3×3
+cases — SURVEY.md §4 'property tests vs dense reference')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import sparsemat_tpu as smt
+
+FORMATS = ["coo", "csr", "ell", "sell", "dia", "well", "slab", "bsr"]
+
+
+def rand_sparse(n_rows, n_cols, density, seed, dtype=np.float32):
+    m = sp.random(n_rows, n_cols, density=density, format="csr",
+                  random_state=np.random.default_rng(seed), dtype=np.float64)
+    m.data = np.round(m.data * 8 - 4, 3)  # exactly-representable values
+    return m.astype(dtype)
+
+
+def to_format(csr_scipy, fmt):
+    A = smt.CSR.from_scipy(csr_scipy)
+    return {
+        "coo": A.to_coo, "csr": lambda: A, "ell": A.to_ell,
+        "sell": A.to_sell, "dia": A.to_dia, "well": A.to_well,
+        "slab": A.to_slab,
+        "bsr": lambda: smt.BSR.from_csr(A),
+    }[fmt]()
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+@pytest.mark.parametrize("seed,shape,density", [
+    (0, (57, 57), 0.08),
+    (1, (130, 130), 0.02),
+    (2, (33, 129), 0.15),     # non-square
+    (3, (260, 64), 0.05),
+])
+def test_spmv_matches_scipy(fmt, seed, shape, density):
+    if fmt in ("dia",) and shape[0] != shape[1]:
+        pytest.skip("DIA requires square-ish band extraction")
+    m = rand_sparse(*shape, density, seed)
+    A = to_format(m, fmt)
+    x = np.random.default_rng(seed + 100).standard_normal(
+        shape[1]).astype(np.float32)
+    y = np.asarray(smt.spmv(A, jnp.asarray(x)))
+    np.testing.assert_allclose(y, m @ x, atol=1e-4,
+                               err_msg=f"{fmt} {shape} d={density}")
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_roundtrip_and_structure(fmt):
+    m = rand_sparse(90, 90, 0.07, seed=7)
+    A = to_format(m, fmt)
+    np.testing.assert_allclose(np.asarray(A.todense()), m.toarray(),
+                               atol=1e-6)
+    assert int(np.asarray(A.n_non_zero_entries())) == m.nnz
+    assert abs(float(np.asarray(A.density())) - m.nnz / 90 / 90) < 1e-9
+    # scale is value-uniform across formats
+    np.testing.assert_allclose(np.asarray(A.scale(2.5).todense()),
+                               2.5 * m.toarray(), atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_algebra_matches_scipy(seed):
+    a = rand_sparse(48, 48, 0.1, seed)
+    b = rand_sparse(48, 48, 0.1, seed + 50)
+    A = smt.CSR.from_scipy(a)
+    B = smt.CSR.from_scipy(b)
+    np.testing.assert_allclose(np.asarray((A + B).todense()),
+                               (a + b).toarray(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray((A - B).todense()),
+                               (a - b).toarray(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(smt.transpose(A).todense()),
+                               a.T.toarray(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(smt.spgemm(A, B).todense()),
+                               (a @ b).toarray(), atol=1e-4)
+    x = np.random.default_rng(seed).standard_normal(48).astype(np.float32)
+    ell = A.to_ell()
+    np.testing.assert_allclose(np.asarray(smt.spmm(A, jnp.stack([x, 2 * x], 1))),
+                               a @ np.stack([x, 2 * x], 1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(smt.rmatvec(A, jnp.asarray(x))),
+                               a.T @ x, atol=1e-4)
+    l = np.random.default_rng(seed + 1).standard_normal(48).astype(np.float32)
+    assert abs(float(smt.inner_prod(A, jnp.asarray(l), jnp.asarray(x)))
+               - l @ (a @ x)) < 1e-3
+    del ell
+
+
+def test_vmapped_multi_rhs_cg():
+    # multi-RHS solves batch through vmap (lax.while_loop converts to a
+    # masked batched loop) — one compiled program for all right-hand sides
+    lap = sp.diags([4.0 * np.ones(100), -np.ones(99), -np.ones(99)],
+                   [0, 1, -1], format="csr").astype(np.float32)
+    A = smt.CSR.from_scipy(lap)
+    rng = np.random.default_rng(0)
+    Bs = rng.standard_normal((5, 100)).astype(np.float32)
+    xs, infos = jax.vmap(
+        lambda bb: smt.solvers.cg(A, bb, tol=1e-6, maxiter=400))(
+            jnp.asarray(Bs))
+    assert bool(jnp.all(infos.converged))
+    ref = np.linalg.solve(lap.toarray().astype(np.float64), Bs.T).T
+    np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-3)
