@@ -340,6 +340,29 @@ def main():
         f"{scat_nnz_s/1e9:.3f} Gnnz/s (S={slab.slab_windows}, "
         f"pad x{slab.nse/scat.nnz:.2f}, abs err {err_sc:.1e})")
 
+    # assembly path (BASELINE config 2): random add_to inserts through the
+    # C++ hash store, then freeze to CSR + one SpMV validated vs scipy
+    n_ins = 2_000_000
+    rng2 = np.random.default_rng(5)
+    ir = rng2.integers(0, 100_000, n_ins)
+    ic = rng2.integers(0, 100_000, n_ins)
+    iv = rng2.standard_normal(n_ins)
+    b = smt.SparseBuilder()
+    t0 = time.perf_counter()
+    b.add_batch(ir, ic, iv)
+    t_ins = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    frozen = b.to_csr()
+    t_freeze = time.perf_counter() - t0
+    xa = rng2.standard_normal(frozen.shape[1]).astype(np.float32)
+    ya = np.asarray(smt.spmv(frozen, jnp.asarray(xa)))
+    ref_m = sp.coo_matrix((iv, (ir, ic))).tocsr()
+    err_a = np.abs(ya[: ref_m.shape[0]]
+                   - (ref_m @ xa[: ref_m.shape[1]]).astype(np.float32)).max()
+    ins_per_s = n_ins / t_ins
+    log(f"  assembly: {ins_per_s/1e6:.1f}M inserts/s (batch add_to via C++ "
+        f"store), freeze {t_freeze*1e3:.0f} ms, spmv err {err_a:.1e}")
+
     cg_small_ips, _ = bench_cg(hbm_bw, n=512)        # VMEM regime
     cg_big_ips, cg_big_frac = bench_cg(hbm_bw, n=2048)  # HBM regime, 4.2M rows
 
@@ -352,6 +375,7 @@ def main():
             "spmv_banded_16M_gnnz_per_s": round(big_nnz_s / 1e9, 3),
             "spmv_banded_1e4_gnnz_per_s": round(small_nnz_s / 1e9, 3),
             "spmv_scattered_218k_gnnz_per_s": round(scat_nnz_s / 1e9, 3),
+            "assembly_minserts_per_s": round(ins_per_s / 1e6, 1),
             "cg_poisson_262k_iters_per_s": round(cg_small_ips, 1),
             "cg_poisson_4M_iters_per_s": round(cg_big_ips, 1),
             "cg_poisson_4M_roofline_frac": round(cg_big_frac, 4),

@@ -173,3 +173,32 @@ def test_dist_slab_cg(mesh8):
     from scipy.sparse.linalg import cg as scipy_cg
     ref, _ = scipy_cg(lap.astype(np.float64), b.astype(np.float64), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(dA.unpad(x)), ref, atol=1e-3)
+
+
+def _stencil27(n):
+    """3D 27-point stencil on an n^3 grid (BASELINE config 5 in miniature)."""
+    m = n ** 3
+    offs, vals = [], []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                off = dz * n * n + dy * n + dx
+                offs.append(off)
+                vals.append(26.0 if off == 0 else -1.0)
+    diags = [np.full(m - abs(o), v, np.float32) for o, v in zip(offs, vals)]
+    return sp.diags(diags, offs, shape=(m, m), format="csr")
+
+
+def test_dist_cg_stencil27_3d(mesh8):
+    # distributed CG on a 3D 27-point stencil: DIA halo exchange, psum dots
+    n = 12                      # 1728 rows over 8 devices
+    lap = _stencil27(n)
+    dA = parallel.distribute_dia(smt.CSR.from_scipy(lap).to_dia(), mesh8)
+    b = np.ones(lap.shape[0], np.float32)
+    bs = dA.padded_vector(b, mesh8)
+    x, info = solvers.cg(lambda v: dA.matvec(v, mesh8), bs, tol=1e-5,
+                         maxiter=2000)
+    assert bool(info.converged)
+    from scipy.sparse.linalg import cg as scipy_cg
+    ref, _ = scipy_cg(lap.astype(np.float64), b.astype(np.float64), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dA.unpad(x)), ref, atol=1e-3)

@@ -184,3 +184,26 @@ def test_block_jacobi_empty_rows_and_tail():
     z = np.asarray(M.apply(jnp.asarray(r)))
     expect = np.where(np.diag(d) != 0, r / np.where(np.diag(d) == 0, 1, np.diag(d)), r)
     np.testing.assert_allclose(z, expect, rtol=1e-5)
+
+
+def test_cg_poisson2d_f64_tight_residual():
+    # BASELINE config 3 (scaled for CI): 2D 5-point Poisson, f64, CG to
+    # 1e-8 absolute residual, preconditioned to keep CI time bounded
+    lap = poisson2d(96)  # 9216 rows, f64
+    A = smt.CSR.from_scipy(lap)
+    b = np.ones(lap.shape[0], np.float64)
+    M = smt.BlockJacobiPreconditioner.from_matrix(A, block_size=96)
+    x, info = smt.solvers.cg(A, b, tol=1e-8, maxiter=20_000, M=M)
+    assert bool(info.converged)
+    r = b - lap @ np.asarray(x)
+    assert np.linalg.norm(r) < 1e-7
+
+
+def test_jacobi_poisson2d_f64():
+    # Jacobi on the same operator (diagonally dominant -> converges)
+    lap = poisson2d(24)
+    A = smt.CSR.from_scipy(lap)
+    b = np.ones(lap.shape[0], np.float64)
+    x, info = smt.solvers.jacobi(A, b, tol=1e-8, maxiter=50_000)
+    assert bool(info.converged)
+    assert np.linalg.norm(b - lap @ np.asarray(x)) < 1e-6
