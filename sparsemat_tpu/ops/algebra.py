@@ -94,7 +94,8 @@ def transpose(a):
     return _same_format_as(a, out)
 
 
-def spgemm(a, b, *, n_cols_per_row_b: int | None = None):
+def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
+           max_fanout_slots: int = 1 << 25):
     """C = A @ B for two sparse operands (≈ ``prod``,
     src/sparsematrix.rs:186-210).
 
@@ -104,6 +105,13 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None):
     expansion, then one sort + segment-sum canonicalizes.  Output stores sums
     for every structurally-reached coordinate; use ``.prune(keep_zeros=False)``
     to match the reference's nonzero-only storage (src/sparsematrix.rs:204-206).
+
+    Large products (fan-out above ``max_fanout_slots``) stream A's entries
+    through the device in chunks and merge the per-chunk partial products on
+    the host — chunks cover disjoint A-entry ranges, so the merge is a
+    concatenation; any (i, j) split across a chunk boundary is summed by the
+    final host canonicalization.  The chunked path requires concrete (non-
+    traced) operands; under jit the one-shot expansion is used regardless.
 
     Dimension guard: standard inner-dimension match (A.n_cols == B.n_rows).
     [The reference instead checks n_rows==rhs.n_cols && n_cols==rhs.n_rows
@@ -119,6 +127,46 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None):
     kb = bell.n_cols_per_row
     adt = accum_dtype(jnp.result_type(ca.vals.dtype, bell.vals.dtype))
 
+    traced = isinstance(ca.vals, jax.core.Tracer)
+    if not traced and ca.nse * kb > max_fanout_slots:
+        return _spgemm_chunked(a, ca, bell, shape, kb, adt, max_fanout_slots)
+
+    return _same_format_as(a, _spgemm_oneshot(ca, bell, shape, kb, adt))
+
+
+def _spgemm_chunked(a, ca, bell, shape, kb, adt, max_fanout_slots):
+    """Host-orchestrated chunked SpGEMM (see spgemm docstring)."""
+    import numpy as np
+
+    from ..formats.csr import CSR
+
+    chunk = max(max_fanout_slots // max(kb, 1), 1)
+    nse = ca.nse
+    parts_r, parts_c, parts_v = [], [], []
+    for s0 in range(0, nse, chunk):
+        sub = COO(rows=ca.rows[s0:s0 + chunk], cols=ca.cols[s0:s0 + chunk],
+                  vals=ca.vals[s0:s0 + chunk], shape=ca.shape,
+                  canonical=ca.canonical)
+        part = _spgemm_oneshot(sub, bell, shape, kb, adt)
+        r = np.asarray(part.rows)
+        keep = r < shape[0]
+        keep &= np.asarray(part.vals) != 0
+        parts_r.append(r[keep])
+        parts_c.append(np.asarray(part.cols)[keep])
+        parts_v.append(np.asarray(part.vals)[keep])
+    out = CSR.from_host_coo(
+        np.concatenate(parts_r), np.concatenate(parts_c),
+        np.concatenate(parts_v), shape, dtype=np.dtype(adt))
+    from ..formats.ell import ELL
+
+    if isinstance(a, CSR):
+        return out
+    if isinstance(a, ELL):
+        return out.to_ell()
+    return out.to_coo()
+
+
+def _spgemm_oneshot(ca, bell, shape, kb, adt):
     a_valid = ca.rows.astype(jnp.int32) < ca.shape[0]
     a_rows = jnp.where(a_valid, ca.rows.astype(jnp.int32), shape[0])
     a_k = jnp.where(a_valid, ca.cols.astype(jnp.int32), 0)
@@ -138,9 +186,9 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None):
     r, c, v, _ = sort_coo(rows, cols, vals, shape)
     r, c, v, _ = dedup_sorted_coo(r, c, v, shape)
     idt = ca.index_dtype
-    out = COO(rows=r.astype(compute_index_dtype(idt)), cols=c.astype(compute_index_dtype(idt)),
-              vals=v, shape=shape, canonical=True)
-    return _same_format_as(a, out)
+    return COO(rows=r.astype(compute_index_dtype(idt)),
+               cols=c.astype(compute_index_dtype(idt)),
+               vals=v, shape=shape, canonical=True)
 
 
 def inner_prod(mat, l, r):

@@ -102,3 +102,18 @@ def test_vmapped_multi_rhs_cg():
     assert bool(jnp.all(infos.converged))
     ref = np.linalg.solve(lap.toarray().astype(np.float64), Bs.T).T
     np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-3)
+
+
+def test_spgemm_chunked_matches_oneshot():
+    a = rand_sparse(120, 120, 0.08, seed=9)
+    b = rand_sparse(120, 120, 0.08, seed=10)
+    A = smt.CSR.from_scipy(a)
+    B = smt.CSR.from_scipy(b)
+    one = smt.spgemm(A, B)
+    # force the chunked host-merge path (tiny fan-out budget -> many chunks)
+    chunked = smt.spgemm(A, B, max_fanout_slots=512)
+    np.testing.assert_allclose(np.asarray(chunked.todense()),
+                               (a @ b).toarray(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(chunked.todense()),
+                               np.asarray(one.todense()), atol=1e-5)
+    assert type(chunked) is type(one)
