@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..formats.coo import COO
 from ..formats.csr import CSR
@@ -144,11 +145,18 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
         ell = mat if isinstance(mat, ELL) else mat.to_ell()
         return _ell_spmm(ell, B)
     if isinstance(mat, CSR):
+        # prefer the regular ELL gather when padding waste is acceptable
+        # (host-side structure check — unavailable under jit tracing)
+        if not isinstance(mat.indptr, jax.core.Tracer):
+            nnz = int(mat.host("indptr")[-1])
+            if nnz and mat.max_row_nnz() * mat.n_rows <= 4 * nnz:
+                return _ell_spmm(mat.to_ell(), B)
         return _stream_spmm(mat.row_ids, mat.indices, mat.data, mat.n_rows, B)
     if isinstance(mat, COO):
         return _stream_spmm(mat.rows, mat.cols, mat.vals, mat.n_rows, B)
-    coo = mat.to_coo()
-    return _stream_spmm(coo.rows, coo.cols, coo.vals, coo.n_rows, B)
+    # other formats (WELL, SlabELL, ...): canonicalize through CSR so the
+    # ELL-vs-stream choice above applies
+    return spmm(mat.to_csr(), B, method=method)
 
 
 def rmatvec(mat, y) -> jax.Array:

@@ -117,3 +117,24 @@ def test_spgemm_chunked_matches_oneshot():
     np.testing.assert_allclose(np.asarray(chunked.todense()),
                                np.asarray(one.todense()), atol=1e-5)
     assert type(chunked) is type(one)
+
+
+def test_bf16_storage_f32_accumulation():
+    # mixed precision: bfloat16 storage must accumulate in float32
+    m = rand_sparse(64, 64, 0.1, seed=20)
+    A16 = smt.CSR.from_arrays(
+        np.asarray(m.indptr), np.asarray(m.indices),
+        jnp.asarray(m.data, jnp.bfloat16), m.shape)
+    x = np.random.default_rng(21).standard_normal(64).astype(np.float32)
+    y = smt.spmv(A16, jnp.asarray(x))
+    assert y.dtype == jnp.float32  # accum_dtype promotes bf16 -> f32
+    np.testing.assert_allclose(np.asarray(y), m @ x, atol=0.15)
+
+
+def test_spmm_slab_and_well_route():
+    m = rand_sparse(96, 96, 0.1, seed=22)
+    B = np.random.default_rng(23).standard_normal((96, 3)).astype(np.float32)
+    for conv in ("to_slab", "to_well"):
+        A = getattr(smt.CSR.from_scipy(m), conv)()
+        Y = np.asarray(smt.spmm(A, jnp.asarray(B)))
+        np.testing.assert_allclose(Y, m @ B, atol=1e-3, err_msg=conv)
