@@ -45,6 +45,10 @@ class BSR(SparseFormat):
     blocks: jax.Array = array_field()
     block_rows: jax.Array = array_field()
     block_cols: jax.Array = array_field()
+    #: (T, BR, BC) bool occupancy — distinguishes explicitly-stored zeros
+    #: from block padding on round-trip (≈ get_mut zero-insert contract,
+    #: src/sparsematrix.rs:112-114).  None ⇒ fall back to ``val != 0``.
+    occ: jax.Array | None = array_field()
     shape: Tuple[int, int] = static_field()
 
     @classmethod
@@ -76,10 +80,12 @@ class BSR(SparseFormat):
         n_tiles = int(tid[-1]) + 1 if nnz else 0
 
         blocks = np.zeros((max(n_tiles, 1), br, bc), data.dtype)
+        occ = np.zeros((max(n_tiles, 1), br, bc), bool)
         t_rows = np.zeros(max(n_tiles, 1), np.int32)
         t_cols = np.zeros(max(n_tiles, 1), np.int32)
         if nnz:
             blocks[tid, (rows[order] % br), (cols[order] % bc)] = vals[order]
+            occ[tid, (rows[order] % br), (cols[order] % bc)] = True
             t_rows[tid] = (brow[order]).astype(np.int32)
             t_cols[tid] = (bcol[order]).astype(np.int32)
 
@@ -94,13 +100,17 @@ class BSR(SparseFormat):
         if missing.size:
             blocks = np.concatenate(
                 [blocks[:n_tiles], np.zeros((missing.size, br, bc), data.dtype)])
+            occ = np.concatenate(
+                [occ[:n_tiles], np.zeros((missing.size, br, bc), bool)])
             t_rows = np.concatenate([t_rows[:n_tiles], missing])
             t_cols = np.concatenate([t_cols[:n_tiles],
                                      np.zeros(missing.size, np.int32)])
             order2 = np.argsort(t_rows, kind="stable")
-            blocks, t_rows, t_cols = blocks[order2], t_rows[order2], t_cols[order2]
+            blocks, occ, t_rows, t_cols = (blocks[order2], occ[order2],
+                                           t_rows[order2], t_cols[order2])
         return cls(blocks=jnp.asarray(blocks), block_rows=jnp.asarray(t_rows),
-                   block_cols=jnp.asarray(t_cols), shape=(n_rows, n_cols))
+                   block_cols=jnp.asarray(t_cols), occ=jnp.asarray(occ),
+                   shape=(n_rows, n_cols))
 
     @classmethod
     def from_coo(cls, coo, br: int = BLOCK_ROWS, bc: int = BLOCK_COLS) -> "BSR":
@@ -118,11 +128,12 @@ class BSR(SparseFormat):
         rows = jnp.broadcast_to(rows, self.blocks.shape).reshape(-1)
         cols = jnp.broadcast_to(cols, self.blocks.shape).reshape(-1)
         vals = self.blocks.reshape(-1)
-        stored = vals != 0
+        stored = (self.occ.reshape(-1) if self.occ is not None else vals != 0)
         n_rows = self.shape[0]
         return COO(rows=jnp.where(stored, rows, n_rows),
                    cols=jnp.where(stored, cols, 0),
-                   vals=vals, shape=self.shape, canonical=False)
+                   vals=jnp.where(stored, vals, 0),
+                   shape=self.shape, canonical=False)
 
     def to_csr(self):
         return self.to_coo().to_csr()
@@ -153,6 +164,8 @@ class BSR(SparseFormat):
         return self.blocks
 
     def n_non_zero_entries(self):
+        if self.occ is not None:
+            return jnp.sum(self.occ).astype(jnp.int32)
         return jnp.sum(self.blocks != 0).astype(jnp.int32)
 
     def scale(self, scalar) -> "BSR":

@@ -222,3 +222,54 @@ class CSR(SparseFormat):
             indices=np.asarray(self.indices[start:end]),
             vals=np.asarray(self.data[start:end]),
             dim=self.n_cols)
+
+    def iter_row(self, i: int):
+        """(col, val) pairs of row i, column-sorted (canonical order — the
+        reference's CRS yields chain/insertion order instead,
+        src/sparsemat_crs.rs:102-110; sorted order is this library's
+        canonical contract).  Out-of-range rows yield nothing, matching the
+        reference's empty-iterator behavior (src/sparsemat_crs.rs:107-109).
+        Host-side convenience."""
+        if i < 0 or i >= self.n_rows:
+            return
+        indptr = self.host("indptr")
+        indices = self.host("indices")
+        data = self.host("data")
+        for p in range(int(indptr[i]), int(indptr[i + 1])):
+            yield int(indices[p]), data[p]
+
+    # -- column view (≈ ColumnIter, src/sparsemat_crs.rs:175-191) ------------
+    def assemble_column_info(self) -> "CSR":
+        """Build the cached column view (host-side CSC structure).  Must be
+        called before ``iter_col`` — the same explicit-assembly contract as
+        the reference (src/sparsematrix.rs:344-352: ``iter_col`` errors with
+        "use assemble_column_info()" when stale).  CSR is immutable, so the
+        view never goes stale once built.  Returns self for chaining."""
+        if getattr(self, "_col_info", None) is None:
+            indptr = self.host("indptr").astype(np.int64)
+            indices = self.host("indices").astype(np.int64)
+            data = self.host("data")
+            nnz = int(indptr[-1])
+            rows = np.repeat(np.arange(self.n_rows, dtype=np.int64),
+                             np.diff(indptr))
+            order = np.lexsort((rows, indices[:nnz]))
+            col_ptr = np.concatenate(
+                [[0], np.cumsum(np.bincount(indices[:nnz],
+                                            minlength=self.n_cols))])
+            object.__setattr__(self, "_col_info",
+                               (col_ptr, rows[order], data[:nnz][order]))
+        return self
+
+    def iter_col(self, j: int):
+        """(row, val) pairs of column j in ascending row order.  Raises
+        unless ``assemble_column_info`` was called (≈ the Err path of
+        src/sparsemat_indexlist.rs:86-96 / src/sparsematrix.rs:344-352)."""
+        info = getattr(self, "_col_info", None)
+        if info is None:
+            raise RuntimeError(
+                "column info is stale — call assemble_column_info() first")
+        col_ptr, rows, vals = info
+        if j < 0 or j >= self.n_cols:
+            return
+        for p in range(int(col_ptr[j]), int(col_ptr[j + 1])):
+            yield int(rows[p]), vals[p]

@@ -57,12 +57,18 @@ class SlabELL(SparseFormat):
     concatenation of S window buckets whose static (offset, height) ranges
     are ``buckets``; ``lidx`` is the column within the bucket's window
     (0..127, padding slots 0 with val 0); ``win_lo``: (n_rb,) first window
-    of each block's slab.
+    of each block's slab; ``bucket_cnt``: (n_rb, S, RB) stored-entry count
+    per (block, window, lane-row) — entries fill a bucket's ranks
+    consecutively, so rank < count ⟺ stored.  Preserves explicitly-stored
+    zeros on round-trip (≈ ``get_mut`` zero-insert contract,
+    src/sparsematrix.rs:112-114); may be None for ad-hoc constructions
+    (e.g. DistSlab shards — falls back to ``val != 0``).
     """
 
     vals: jax.Array = array_field()
     lidx: jax.Array = array_field()
     win_lo: jax.Array = array_field()
+    bucket_cnt: jax.Array | None = array_field()
     shape: Tuple[int, int] = static_field()
     #: ((offset, height), ...) per slab window — offsets into the C axis
     buckets: Tuple[Tuple[int, int], ...] = static_field()
@@ -85,6 +91,7 @@ class SlabELL(SparseFormat):
             return cls(vals=jnp.zeros((n_rb, SUBLANE, rb), data.dtype),
                        lidx=jnp.zeros((n_rb, SUBLANE, rb), jnp.int32),
                        win_lo=jnp.zeros((n_rb,), jnp.int32),
+                       bucket_cnt=jnp.zeros((n_rb, 1, rb), jnp.int32),
                        shape=(n_rows, n_cols),
                        buckets=((0, SUBLANE),))
 
@@ -125,9 +132,12 @@ class SlabELL(SparseFormat):
         cpos = offs[w_rel] + rank
         vals_t[blk, cpos, lrow] = data[:nnz]
         lidx_t[blk, cpos, lrow] = (indices % WINDOW).astype(np.int32)
+        cnt = np.zeros((n_rb, s, rb), np.int32)
+        np.add.at(cnt, (blk, w_rel, lrow), 1)
         buckets = tuple((int(offs[w]), int(heights[w])) for w in range(s))
         return cls(vals=jnp.asarray(vals_t), lidx=jnp.asarray(lidx_t),
                    win_lo=jnp.asarray(lo.astype(np.int32)),
+                   bucket_cnt=jnp.asarray(cnt),
                    shape=(n_rows, n_cols), buckets=buckets)
 
     # -- canonical views ------------------------------------------------------
@@ -151,10 +161,23 @@ class SlabELL(SparseFormat):
         rows = jnp.broadcast_to(rows, self.vals.shape).reshape(-1)
         cols = cols.reshape(-1)
         vals = self.vals.reshape(-1)
-        stored = vals != 0
+        stored = self._stored_mask().reshape(-1)
         return COO(rows=jnp.where(stored, rows, n_rows),
                    cols=jnp.where(stored, cols, 0),
-                   vals=vals, shape=self.shape, canonical=False)
+                   vals=jnp.where(stored, vals, 0),
+                   shape=self.shape, canonical=False)
+
+    def _stored_mask(self) -> jax.Array:
+        """(n_rb, C, RB) bool: slot holds a stored entry (incl. explicit
+        zeros) vs bucket padding."""
+        if self.bucket_cnt is None:
+            return self.vals != 0
+        w_of = self._window_of_cpos()                      # (C,) static
+        offs = np.array([o for o, _ in self.buckets], np.int32)
+        rank_c = jnp.asarray(np.arange(self.c_total, dtype=np.int32)
+                             - offs[w_of])                 # rank within bucket
+        cnt_c = self.bucket_cnt[:, jnp.asarray(w_of), :]   # (n_rb, C, RB)
+        return rank_c[None, :, None] < cnt_c
 
     def to_csr(self):
         return self.to_coo().to_csr()
@@ -189,6 +212,8 @@ class SlabELL(SparseFormat):
         return self.vals
 
     def n_non_zero_entries(self):
+        if self.bucket_cnt is not None:
+            return jnp.sum(self.bucket_cnt).astype(jnp.int32)
         return jnp.sum(self.vals != 0).astype(jnp.int32)
 
     def scale(self, scalar) -> "SlabELL":

@@ -77,6 +77,11 @@ class WELL(SparseFormat):
     ``lidx``: (n_tiles, 8, K) column-within-window ids (padding 0);
     ``tile_rows``: (n_tiles,) row-block id per tile (sorted ascending);
     ``tile_wins``: (n_tiles,) window id per tile;
+    ``row_cnt``: (n_tiles, 8) stored-entry count per tile row — slots fill
+    consecutively, so slot < count ⟺ stored.  Keeps explicitly-stored zeros
+    distinguishable from padding on round-trip (the reference's ``get_mut``
+    inserts and counts zero entries, src/sparsematrix.rs:112-114).  May be
+    None for ad-hoc constructions (falls back to ``val != 0``);
     ``chunks``: static row-block-aligned tile ranges sized so each chunk's
     scalar-prefetch arrays fit in SMEM (one pallas_call per chunk).
     """
@@ -85,6 +90,7 @@ class WELL(SparseFormat):
     lidx: jax.Array = array_field()
     tile_rows: jax.Array = array_field()
     tile_wins: jax.Array = array_field()
+    row_cnt: jax.Array | None = array_field()
     shape: Tuple[int, int] = static_field()
     chunks: Tuple[Tuple[int, int, int, int], ...] = static_field()
 
@@ -144,6 +150,8 @@ class WELL(SparseFormat):
         l_t = np.zeros((max(n_tiles, 1), ROW_BLOCK, k_tile), np.int32)
         v_t[tid, lrow2, slot_in[order2]] = vals2
         l_t[tid, lrow2, slot_in[order2]] = lane2
+        c_t = np.zeros((max(n_tiles, 1), ROW_BLOCK), np.int32)
+        np.add.at(c_t, (tid, lrow2), 1)
         t_rows = np.zeros(max(n_tiles, 1), np.int32)
         t_wins = np.zeros(max(n_tiles, 1), np.int32)
         t_rows[tid] = rb2.astype(np.int32)
@@ -165,15 +173,18 @@ class WELL(SparseFormat):
             l_t = np.concatenate(
                 [l_t[:n_tiles],
                  np.zeros((missing.size, ROW_BLOCK, k_tile), np.int32)])
+            c_t = np.concatenate(
+                [c_t[:n_tiles], np.zeros((missing.size, ROW_BLOCK), np.int32)])
             t_rows = np.concatenate([t_rows[:n_tiles], missing])
             t_wins = np.concatenate([t_wins[:n_tiles],
                                      np.zeros(missing.size, np.int32)])
             order3 = np.argsort(t_rows, kind="stable")
-            v_t, l_t, t_rows, t_wins = (v_t[order3], l_t[order3],
-                                        t_rows[order3], t_wins[order3])
+            v_t, l_t, c_t, t_rows, t_wins = (v_t[order3], l_t[order3],
+                                             c_t[order3], t_rows[order3],
+                                             t_wins[order3])
         return cls(vals=jnp.asarray(v_t), lidx=jnp.asarray(l_t),
                    tile_rows=jnp.asarray(t_rows), tile_wins=jnp.asarray(t_wins),
-                   shape=(n_rows, n_cols),
+                   row_cnt=jnp.asarray(c_t), shape=(n_rows, n_cols),
                    chunks=_chunk_bounds(t_rows, n_rb))
 
     # -- canonical views ----------------------------------------------------
@@ -187,12 +198,22 @@ class WELL(SparseFormat):
         rows = jnp.broadcast_to(rows, self.vals.shape).reshape(-1)
         cols = cols.reshape(-1)
         vals = self.vals.reshape(-1)
-        # padding slots carry val 0 but real-looking coords; mark them
-        stored = vals != 0
+        # padding slots carry val 0 but real-looking coords; the occupancy
+        # counts distinguish them from explicitly-stored zeros
+        stored = self._stored_mask().reshape(-1)
         n_rows = self.shape[0]
         return COO(rows=jnp.where(stored, rows, n_rows),
                    cols=jnp.where(stored, cols, 0),
-                   vals=vals, shape=self.shape, canonical=False)
+                   vals=jnp.where(stored, vals, 0),
+                   shape=self.shape, canonical=False)
+
+    def _stored_mask(self) -> jax.Array:
+        """(n_tiles, 8, K) bool: slot holds a stored entry (incl. explicit
+        zeros) vs padding."""
+        if self.row_cnt is None:
+            return self.vals != 0
+        return (jnp.arange(self.k_tile, dtype=jnp.int32)[None, None, :]
+                < self.row_cnt[:, :, None])
 
     def to_csr(self):
         return self.to_coo().to_csr()
@@ -219,6 +240,8 @@ class WELL(SparseFormat):
         return self.vals
 
     def n_non_zero_entries(self):
+        if self.row_cnt is not None:
+            return jnp.sum(self.row_cnt).astype(jnp.int32)
         return jnp.sum(self.vals != 0).astype(jnp.int32)
 
     def scale(self, scalar) -> "WELL":

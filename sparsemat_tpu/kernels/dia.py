@@ -160,7 +160,7 @@ def _dia_spmv_pallas_impl(data, x, *, offsets, n_rows, H, C,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((n_d, C), lambda i: (0, i)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 1, C), jnp.float32),

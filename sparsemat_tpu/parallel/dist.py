@@ -459,7 +459,8 @@ def dist_slab_spmv(mat: DistSlab, x: jax.Array, mesh: Mesh) -> jax.Array:
         else:
             x_ext = x_blk
         sl = SlabELL(vals=vals_blk[0], lidx=lidx_blk[0], win_lo=wl_blk[0],
-                     shape=(r, x_ext.shape[0]), buckets=buckets)
+                     bucket_cnt=None, shape=(r, x_ext.shape[0]),
+                     buckets=buckets)
         if use_pallas:
             return slab_spmv_pallas(sl, x_ext)
         return slab_spmv_xla(sl, x_ext)

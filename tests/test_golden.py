@@ -174,3 +174,29 @@ def test_densevec_semantics():
     assert v.get(1) == 0.5
     with pytest.raises(ValueError):
         smt.DenseVec([1.0]).add(smt.DenseVec([1.0, 2.0]))
+
+
+def test_csr_column_iter():
+    """ColumnIter on the frozen CSR (≈ src/sparsemat_crs.rs:175-191 +
+    golden column-order check src/lib.rs:137-143)."""
+    import pytest
+
+    from sparsemat_tpu.builder import SparseBuilder
+
+    b = SparseBuilder()
+    b.set(0, 1, 2.24)
+    b.set(2, 1, 8.0)
+    b.set(1, 0, 5.0)
+    b.set(0, 2, 4.12)
+    csr = b.to_csr()
+    with pytest.raises(RuntimeError, match="assemble_column_info"):
+        next(csr.iter_col(1))
+    csr.assemble_column_info()
+    assert [(r, float(v)) for r, v in csr.iter_col(1)] == [
+        (0, pytest.approx(2.24)), (2, 8.0)]
+    assert list(csr.iter_col(0)) == [(1, 5.0)]
+    assert list(csr.iter_col(7)) == []          # out of range: empty
+    # row iteration: sorted canonical order; out-of-range empty
+    assert [(c, float(v)) for c, v in csr.iter_row(0)] == [
+        (1, pytest.approx(2.24)), (2, pytest.approx(4.12))]
+    assert list(csr.iter_row(5)) == []          # ≈ src/lib.rs:148-149
