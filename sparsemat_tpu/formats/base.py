@@ -233,12 +233,23 @@ def sort_coo(rows, cols, vals, shape: Shape):
     Replaces the reference's per-row ``Sortable::sort_row`` chain rewrites
     (src/sparsemat_indexlist.rs:102-109) with one device-wide key sort.
     Padding entries (row == n_rows) sort to the tail automatically.
+
+    When the scalar key row*n_cols+col would exceed 31 bits and 64-bit ints
+    are unavailable (TPU default), falls back to two stable 32-bit sorts
+    (radix-style lexsort) — a silent int32 overflow would corrupt the
+    canonical order.
     """
     cdt = compute_index_dtype(rows.dtype)
     n_rows, n_cols = shape
-    key_dtype = jnp.int64 if (int(n_rows) + 1) * max(int(n_cols), 1) >= np.iinfo(np.int32).max else cdt
-    key = rows.astype(key_dtype) * jnp.asarray(n_cols, key_dtype) + cols.astype(key_dtype)
-    order = jnp.argsort(key)
+    needs_64 = (int(n_rows) + 1) * max(int(n_cols), 1) >= np.iinfo(np.int32).max
+    if needs_64 and not jax.config.jax_enable_x64:
+        order = jnp.argsort(cols.astype(jnp.int32), stable=True)
+        order = order[jnp.argsort(rows.astype(jnp.int32)[order], stable=True)]
+    else:
+        key_dtype = jnp.int64 if needs_64 else cdt
+        key = (rows.astype(key_dtype) * jnp.asarray(n_cols, key_dtype)
+               + cols.astype(key_dtype))
+        order = jnp.argsort(key)
     return rows[order], cols[order], vals[order], order
 
 

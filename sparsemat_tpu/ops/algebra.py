@@ -16,8 +16,11 @@ capacity-bounded strategy for unpredictable output nnz (SURVEY.md §7a).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..formats.base import dedup_sorted_coo, sort_coo
 from ..formats.coo import COO
@@ -95,7 +98,7 @@ def transpose(a):
 
 
 def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
-           max_fanout_slots: int = 1 << 25):
+           max_fanout_slots: int = 1 << 25, out_capacity: int | None = None):
     """C = A @ B for two sparse operands (≈ ``prod``,
     src/sparsematrix.rs:186-210).
 
@@ -106,11 +109,16 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
     for every structurally-reached coordinate; use ``.prune(keep_zeros=False)``
     to match the reference's nonzero-only storage (src/sparsematrix.rs:204-206).
 
-    Large products (fan-out above ``max_fanout_slots``) stream A's entries
-    through the device in chunks and merge the per-chunk partial products on
-    the host — chunks cover disjoint A-entry ranges, so the merge is a
-    concatenation; any (i, j) split across a chunk boundary is summed by the
-    final host canonicalization.  The chunked path requires concrete (non-
+    Large products (fan-out above ``max_fanout_slots``) run the DEVICE-SIDE
+    chunked path: one jitted ``fori_loop`` streams A's entries in chunks,
+    expands each against B's rows, canonicalizes the chunk, and merges it
+    into a capacity-bounded device accumulator (merge-by-rank of two sorted
+    streams + segment-sum dedup).  Host involvement is O(1) scalars — one
+    fan-out estimate up front and one overflow flag per attempt; if the
+    accumulator overflows, the capacity doubles and the program re-runs
+    (the capacity-bounded buffers + overflow-retry strategy of SURVEY §7a).
+    ``out_capacity`` pre-sizes the accumulator (skips the retry loop when
+    the output nnz is known).  The chunked path requires concrete (non-
     traced) operands; under jit the one-shot expansion is used regardless.
 
     Dimension guard: standard inner-dimension match (A.n_cols == B.n_rows).
@@ -129,41 +137,125 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
 
     traced = isinstance(ca.vals, jax.core.Tracer)
     if not traced and ca.nse * kb > max_fanout_slots:
-        return _spgemm_chunked(a, ca, bell, shape, kb, adt, max_fanout_slots)
+        return _same_format_as(a, _spgemm_device_chunked(
+            ca, bell, shape, kb, adt, max_fanout_slots, out_capacity))
 
     return _same_format_as(a, _spgemm_oneshot(ca, bell, shape, kb, adt))
 
 
-def _spgemm_chunked(a, ca, bell, shape, kb, adt, max_fanout_slots):
-    """Host-orchestrated chunked SpGEMM (see spgemm docstring)."""
+def _spgemm_device_chunked(ca, bell, shape, kb, adt, max_fanout_slots,
+                           out_capacity=None):
+    """Device-resident chunked SpGEMM (see spgemm docstring).
+
+    Replaces the round-1 host-merge path (per-chunk numpy readback — minutes
+    over a ~MB/s device→host link) with an on-device accumulator; the only
+    readbacks are the fan-out estimate and the per-attempt overflow scalar.
+    """
     import numpy as np
 
-    from ..formats.csr import CSR
-
-    chunk = max(max_fanout_slots // max(kb, 1), 1)
+    n_rows, n_cols = shape
+    chunk_rows = max(max_fanout_slots // max(kb, 1), 1)
     nse = ca.nse
-    parts_r, parts_c, parts_v = [], [], []
-    for s0 in range(0, nse, chunk):
-        sub = COO(rows=ca.rows[s0:s0 + chunk], cols=ca.cols[s0:s0 + chunk],
-                  vals=ca.vals[s0:s0 + chunk], shape=ca.shape,
-                  canonical=ca.canonical)
-        part = _spgemm_oneshot(sub, bell, shape, kb, adt)
-        r = np.asarray(part.rows)
-        keep = r < shape[0]
-        keep &= np.asarray(part.vals) != 0
-        parts_r.append(r[keep])
-        parts_c.append(np.asarray(part.cols)[keep])
-        parts_v.append(np.asarray(part.vals)[keep])
-    out = CSR.from_host_coo(
-        np.concatenate(parts_r), np.concatenate(parts_c),
-        np.concatenate(parts_v), shape, dtype=np.dtype(adt))
-    from ..formats.ell import ELL
+    n_chunks = -(-nse // chunk_rows)
 
-    if isinstance(a, CSR):
-        return out
-    if isinstance(a, ELL):
-        return out.to_ell()
-    return out.to_coo()
+    # exact fan-out (= partial-product count): upper bound on output nnz.
+    # Summed in int32-safe blocks (jnp.int64 silently truncates without x64);
+    # the final int64 reduction happens on the host over a tiny readback.
+    a_valid = ca.rows.astype(jnp.int32) < ca.shape[0]
+    _blk = 4096
+
+    @jax.jit
+    def _fanout_blocks(c, nz, v):
+        per = jnp.where(v, nz.at[c.astype(jnp.int32)].get(
+            mode="fill", fill_value=0).astype(jnp.int32), 0)
+        padded = jnp.pad(per, (0, -per.shape[0] % _blk))
+        return jnp.sum(padded.reshape(-1, _blk), axis=1)
+
+    fanout = int(np.asarray(_fanout_blocks(ca.cols, bell.row_nnz, a_valid),
+                            np.int64).sum())
+
+    if out_capacity is not None:
+        cap = int(out_capacity)
+    else:
+        n_a = int(jnp.sum(a_valid))
+        cap = int(min(fanout, max(4 * n_a, 1 << 16)))
+    cap = max(min(cap, max(fanout, 1)), 1)
+
+    # pad A's entry stream to the chunk grid (pad rows = n_rows ⇒ masked)
+    pad = n_chunks * chunk_rows - nse
+    idt = jnp.int32
+    a_rows = jnp.concatenate([
+        jnp.where(a_valid, ca.rows.astype(idt), n_rows),
+        jnp.full((pad,), n_rows, idt)])
+    a_cols = jnp.concatenate([
+        jnp.where(a_valid, ca.cols.astype(idt), 0), jnp.zeros((pad,), idt)])
+    a_vals = jnp.concatenate([
+        jnp.where(a_valid, ca.vals, 0).astype(adt), jnp.zeros((pad,), adt)])
+
+    while True:
+        r, c, v, n_max = _spgemm_accumulate(
+            a_rows, a_cols, a_vals, bell.cols, bell.vals, bell.row_nnz,
+            shape=shape, cap=cap, chunk_rows=chunk_rows,
+            n_chunks=n_chunks, kb=kb, adt=jnp.dtype(adt))
+        n_max = int(n_max)          # O(1) readback: overflow check
+        if n_max <= cap:
+            break
+        if cap >= fanout:           # cannot overflow beyond the fan-out
+            break
+        cap = int(min(max(2 * cap, n_max), fanout))
+
+    return COO(rows=r, cols=c, vals=v, shape=shape, canonical=True)
+
+
+@partial(jax.jit, static_argnames=("shape", "cap", "chunk_rows", "n_chunks",
+                                   "kb", "adt"))
+def _spgemm_accumulate(a_rows, a_cols, a_vals, b_cols, b_vals, b_nnz, *,
+                       shape, cap, chunk_rows, n_chunks, kb, adt):
+    """fori_loop over A-entry chunks: expand → canonicalize → merge into the
+    bounded accumulator.  Returns (rows, cols, vals, max_unique) where
+    max_unique > cap signals overflow (entries were dropped — retry)."""
+    n_rows, n_cols = shape
+    slot = jnp.arange(kb, dtype=jnp.int32)[None, :]
+
+    def chunk_coo(i):
+        s0 = i * chunk_rows
+        ar = jax.lax.dynamic_slice_in_dim(a_rows, s0, chunk_rows)
+        ac = jax.lax.dynamic_slice_in_dim(a_cols, s0, chunk_rows)
+        av = jax.lax.dynamic_slice_in_dim(a_vals, s0, chunk_rows)
+        valid = ar < n_rows
+        bc = b_cols.at[ac].get(mode="fill", fill_value=0)        # (chunk, kb)
+        bv = b_vals.at[ac].get(mode="fill", fill_value=0)
+        bn = b_nnz.at[ac].get(mode="fill", fill_value=0)
+        sv = (slot < bn[:, None].astype(jnp.int32)) & valid[:, None]
+        rows = jnp.where(sv, ar[:, None], n_rows).reshape(-1)
+        cols = jnp.where(sv, bc.astype(jnp.int32), 0).reshape(-1)
+        vals = jnp.where(sv, av[:, None] * bv.astype(adt), 0).reshape(-1)
+        r, c, v, _ = sort_coo(rows, cols, vals, shape)
+        return dedup_sorted_coo(r, c, v, shape)[:3]
+
+    def merge(acc, chk):
+        """Merge two canonical sorted COO streams (concat + one canonical
+        sort + dedup), compacted back to the accumulator capacity."""
+        (ar, ac, av), (cr, cc, cv) = acc, chk
+        mr = jnp.concatenate([ar, cr])
+        mc = jnp.concatenate([ac, cc])
+        mv = jnp.concatenate([av, cv])
+        mr, mc, mv, _ = sort_coo(mr, mc, mv, shape)
+        r, c, v, nu = dedup_sorted_coo(mr, mc, mv, shape)
+        return (r[:cap], c[:cap], v[:cap]), nu
+
+    def body(i, carry):
+        (ar, ac, av), n_max = carry
+        cr, cc, cv = chunk_coo(i)
+        (ar, ac, av), nu = merge((ar, ac, av), (cr, cc, cv))
+        return (ar, ac, av), jnp.maximum(n_max, nu)
+
+    acc0 = (jnp.full((cap,), n_rows, jnp.int32),
+            jnp.zeros((cap,), jnp.int32),
+            jnp.zeros((cap,), adt))
+    (r, c, v), n_max = jax.lax.fori_loop(
+        0, n_chunks, body, (acc0, jnp.zeros((), jnp.int32)))
+    return r, c, v, n_max
 
 
 def _spgemm_oneshot(ca, bell, shape, kb, adt):

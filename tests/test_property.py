@@ -138,3 +138,26 @@ def test_spmm_slab_and_well_route():
         A = getattr(smt.CSR.from_scipy(m), conv)()
         Y = np.asarray(smt.spmm(A, jnp.asarray(B)))
         np.testing.assert_allclose(Y, m @ B, atol=1e-3, err_msg=conv)
+
+
+def test_spgemm_device_chunked_vs_scipy():
+    """The device-side chunked accumulator path (SURVEY §7a capacity-bounded
+    buffers + overflow retry) against scipy, including forced retries."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n = 400
+    A = sp.random(n, n, density=0.02, random_state=1, format="csr",
+                  dtype=np.float64)
+    B = sp.random(n, n, density=0.02, random_state=2, format="csr",
+                  dtype=np.float64)
+    ref = (A @ B).toarray()
+    a = smt.CSR.from_scipy(A)
+    b = smt.CSR.from_scipy(B)
+    # tiny chunks → many merge steps; tiny initial capacity → several
+    # overflow-retry doublings
+    out = smt.spgemm(a, b, max_fanout_slots=1024, out_capacity=64)
+    np.testing.assert_allclose(np.asarray(out.todense()), ref, atol=1e-12)
+    # sanity: the one-shot path agrees too
+    out2 = smt.spgemm(a, b)
+    np.testing.assert_allclose(np.asarray(out2.todense()), ref, atol=1e-12)
