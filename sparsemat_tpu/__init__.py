@@ -43,6 +43,7 @@ from .ops import (
     spgemm,
     spmm,
     spmv,
+    spmv_chain,
     sub,
     transpose,
 )
@@ -58,7 +59,7 @@ __all__ = [
     "JacobiPreconditioner", "BlockJacobiPreconditioner",
     "SolveInfo", "solvers",
     "DimensionError",
-    "spmv", "spmm", "spgemm", "rmatvec",
+    "spmv", "spmm", "spgemm", "rmatvec", "spmv_chain",
     "add", "sub", "transpose", "inner_prod", "is_symmetric",
     "is_sorted", "is_sorted_row", "extract_row",
     "DenseVec", "SparseVec", "norm", "norm_squared",

@@ -175,6 +175,37 @@ class SparseFormat:
 
         return ops.inner_prod(self, l, r)
 
+    # -- performance model ---------------------------------------------------
+    #: array fields the SpMV hot path actually streams from HBM; None means
+    #: "all array fields".  Formats override to exclude bookkeeping arrays
+    #: (e.g. CSR.indptr, WELL.row_cnt) the kernel never touches.
+    _spmv_read_fields: Tuple[str, ...] | None = None
+
+    def spmv_traffic_bytes(self) -> int:
+        """Layout speed-of-light HBM bytes for ONE SpMV on this frozen
+        layout: every array the kernel must stream (padding slots included —
+        they are part of the layout), read exactly once, plus x read once
+        and y written once.
+
+        This is a true LOWER bound for any kernel operating on this layout
+        (halo overlap, re-reads, and scatter read-modify-write only add to
+        it), so a roofline fraction computed against it cannot exceed 1 for
+        an honest measurement — the number bench.py reports as
+        "fraction of speed-of-light"."""
+        fields = self._spmv_read_fields
+        if fields is None:
+            fields = tuple(
+                f.name for f in dataclasses.fields(self)  # type: ignore[arg-type]
+                if f.metadata.get("pytree_node", True))
+        total = 0
+        for name in fields:
+            arr = getattr(self, name)
+            if arr is not None:
+                total += arr.size * jnp.dtype(arr.dtype).itemsize
+        x_bytes = self.shape[1] * jnp.dtype(self.dtype).itemsize
+        y_bytes = self.shape[0] * jnp.dtype(accum_dtype(self.dtype)).itemsize
+        return int(total + x_bytes + y_bytes)
+
     # -- structure queries --------------------------------------------------
     @property
     def nse(self) -> int:

@@ -47,6 +47,8 @@ class CSR(SparseFormat):
     Slots in ``[indptr[-1], nse)`` are padding.
     """
 
+    _spmv_read_fields = ("data", "indices", "row_ids")  # stream path skips indptr
+
     indptr: jax.Array = array_field()
     indices: jax.Array = array_field()
     data: jax.Array = array_field()

@@ -36,6 +36,8 @@ class DIA(SparseFormat):
     (slots outside the matrix are 0).
     """
 
+    _spmv_read_fields = ("data",)  # offsets are static metadata
+
     data: jax.Array = array_field()
     offsets: Tuple[int, ...] = static_field()
     shape: Tuple[int, int] = static_field()

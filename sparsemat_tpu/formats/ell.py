@@ -35,6 +35,8 @@ class ELL(SparseFormat):
     ``n_rows_padded`` is n_rows rounded up to a sublane multiple (8).
     """
 
+    _spmv_read_fields = ("cols", "vals")  # row_nnz is freeze-time bookkeeping
+
     cols: jax.Array = array_field()
     vals: jax.Array = array_field()
     row_nnz: jax.Array = array_field()

@@ -65,6 +65,8 @@ class SlabELL(SparseFormat):
     (e.g. DistSlab shards — falls back to ``val != 0``).
     """
 
+    _spmv_read_fields = ("vals", "lidx", "win_lo")  # bucket_cnt: round-trip only
+
     vals: jax.Array = array_field()
     lidx: jax.Array = array_field()
     win_lo: jax.Array = array_field()

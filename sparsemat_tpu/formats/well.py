@@ -86,6 +86,8 @@ class WELL(SparseFormat):
     scalar-prefetch arrays fit in SMEM (one pallas_call per chunk).
     """
 
+    _spmv_read_fields = ("vals", "lidx", "tile_rows", "tile_wins")  # row_cnt: round-trip only
+
     vals: jax.Array = array_field()
     lidx: jax.Array = array_field()
     tile_rows: jax.Array = array_field()

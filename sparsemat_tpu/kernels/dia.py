@@ -41,13 +41,19 @@ def _plan(n_d: int, h: int, n_rows: int, chunk: int):
     Returns None when they can't (huge halo) — caller falls back to XLA."""
     H = _round_up(max(h, 1), ALIGN)
     C = min(chunk, _round_up(n_rows, ALIGN))
-    # shrink the chunk until 2 diagonal blocks + 2 x windows fit
-    while C > ALIGN and 2 * n_d * C * 4 + 2 * (C + 2 * H) * 4 > VMEM_BUDGET:
+
+    def vmem(C):
+        # double-buffered: n_d diagonal blocks + output block (Mosaic
+        # auto-pipelines both) + the 2 manual x windows
+        return 2 * n_d * C * 4 + 2 * C * 4 + 2 * (C + 2 * H) * 4
+
+    # shrink the chunk until everything fits
+    while C > ALIGN and vmem(C) > VMEM_BUDGET:
         C //= 2
     C = _round_up(C, ALIGN)
     if C < H and -(-n_rows // C) > 1:
         C = H  # interior windows must start in-range (i*C - H >= 0 ⇒ H <= C)
-    if 2 * n_d * C * 4 + 2 * (C + 2 * H) * 4 > VMEM_BUDGET:
+    if vmem(C) > VMEM_BUDGET:
         return None
     return H, C
 
@@ -175,6 +181,109 @@ def _dia_spmv_pallas_impl(data, x, *, offsets, n_rows, H, C,
             transcendentals=0),
     )(datap, xp)
     return y.reshape(-1)[:n_rows]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "n_rows", "k", "H", "C",
+                                    "interpret"))
+def _dia_spmv_chain_impl(data, x, *, offsets, n_rows, k, H, C,
+                         interpret=False):
+    """x ← Aᵏx with the whole matrix VMEM-resident — one kernel launch.
+
+    Latency-regime companion of the streaming kernel above: when the matrix
+    is a single chunk (n_rows ≤ C), every per-SpMV pallas_call would pay
+    ~1 µs of launch + HBM re-read for a ~0.3 µs compute. Here the chain runs
+    as an in-kernel ``fori_loop`` over two ping-pong VMEM buffers, so HBM is
+    touched exactly once (matrix + x in, y out) for the whole chain.  This
+    is the hot path of Richardson/Chebyshev/power iterations on small
+    operands (the reference's mvp in a solver loop,
+    src/sparsematrix.rs:146-158 + src/linearsolver.rs:41-49).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_d = data.shape[0]
+    n_pad = C
+    xp = x if n_pad == n_rows else jnp.pad(x, (0, n_pad - n_rows))
+    datap = (data if n_pad == data.shape[1]
+             else jnp.pad(data, ((0, 0), (0, n_pad - data.shape[1]))))
+    B = C + 2 * H
+
+    def kernel(data_ref, x_ref, o_ref, buf):
+        # halos stay zero for the whole chain; centers ping-pong
+        buf[0:H] = jnp.zeros((H,), jnp.float32)
+        buf[H + C: B + H] = jnp.zeros((H + H,), jnp.float32)
+        buf[2 * B - H: 2 * B] = jnp.zeros((H,), jnp.float32)
+        buf[H: H + C] = x_ref[...]
+
+        def step(src, dst):
+            acc = jnp.zeros((C,), jnp.float32)
+            for d, off in enumerate(offsets):
+                acc = acc + data_ref[d] * buf[src + off + H
+                                              : src + off + H + C]
+            buf[dst + H: dst + H + C] = acc
+
+        def pair(i, carry):
+            step(0, B)
+            step(B, 0)
+            return carry
+
+        jax.lax.fori_loop(0, k // 2, pair, 0)
+        if k % 2:
+            step(0, B)
+            o_ref[...] = buf[B + H: B + H + C]
+        else:
+            o_ref[...] = buf[H: H + C]
+
+    y = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec((n_d, C), lambda: (0, 0)),
+                  pl.BlockSpec((C,), lambda: (0,))],
+        out_specs=pl.BlockSpec((C,), lambda: (0,)),
+        out_shape=jax.ShapeDtypeStruct((C,), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * B,), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_d * C * k,
+            bytes_accessed=int(datap.nbytes + 2 * C * 4),
+            transcendentals=0),
+    )(datap, xp)
+    return y[:n_rows]
+
+
+def dia_chain_plan(dia: DIA):
+    """Single-chunk VMEM plan for the fused chain kernel, or None.
+    Budget: data block + x + out + 2 ping-pong buffers."""
+    n_rows = int(dia.shape[0])
+    if dia.shape[0] != dia.shape[1]:
+        return None
+    n_d = int(dia.data.shape[0])
+    h = max((abs(o) for o in dia.offsets), default=0)
+    H = _round_up(max(h, 1), ALIGN)
+    C = _round_up(n_rows, ALIGN)
+    if C < H:
+        C = H
+    if (n_d + 2) * C * 4 + 2 * (C + 2 * H) * 4 > VMEM_BUDGET:
+        return None
+    return H, C
+
+
+def dia_spmv_chain_pallas(dia: DIA, x: jax.Array, k: int,
+                          interpret: bool = False):
+    """x ← Aᵏ x fused into one kernel launch (f32, VMEM-resident matrices).
+    Falls back to a lax.fori_loop of single SpMVs when the matrix doesn't
+    fit the single-chunk plan."""
+    if dia.data.dtype != jnp.float32 or x.dtype != jnp.float32:
+        plan = None
+    else:
+        plan = dia_chain_plan(dia)
+    if plan is None:
+        return jax.lax.fori_loop(
+            0, k, lambda i, v: dia_spmv_pallas(dia, v), x)
+    H, C = plan
+    return _dia_spmv_chain_impl(
+        dia.data, x, offsets=tuple(dia.offsets), n_rows=int(dia.shape[0]),
+        k=int(k), H=H, C=C, interpret=interpret)
 
 
 def dia_spmv_pallas(dia: DIA, x: jax.Array, chunk: int = DEFAULT_CHUNK,

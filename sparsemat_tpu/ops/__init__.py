@@ -14,7 +14,7 @@ from .algebra import (
     sub,
     transpose,
 )
-from .matvec import rmatvec, spmm, spmv
+from .matvec import rmatvec, spmm, spmv, spmv_chain
 
 __all__ = [
     "DimensionError",
@@ -30,4 +30,5 @@ __all__ = [
     "spmv",
     "spmm",
     "rmatvec",
+    "spmv_chain",
 ]

@@ -127,6 +127,27 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
     return _stream_spmv(coo.rows, coo.cols, coo.vals, coo.n_rows, x)
 
 
+def spmv_chain(mat, x, k: int) -> jax.Array:
+    """x ← Aᵏ x — k chained SpMVs in one dispatch (square A).
+
+    The building block of power/Richardson/Chebyshev iterations (the
+    reference runs mvp in a solver loop, src/linearsolver.rs:41-49).  For
+    VMEM-resident DIA matrices this fuses the entire chain into ONE Pallas
+    kernel launch (matrix read from HBM once for all k steps); otherwise it
+    is a ``lax.fori_loop`` over ``spmv`` (still one XLA dispatch).
+    """
+    x = jnp.asarray(x)
+    _check_dims(mat, x, "spmv_chain")
+    if mat.shape[0] != mat.shape[1]:
+        raise ValueError(f"spmv_chain needs a square matrix, got {mat.shape}")
+    if (isinstance(mat, DIA) and _on_tpu()
+            and mat.data.dtype == jnp.float32 and x.dtype == jnp.float32):
+        from ..kernels.dia import dia_spmv_chain_pallas
+
+        return dia_spmv_chain_pallas(mat, x, k)
+    return jax.lax.fori_loop(0, k, lambda i, v: spmv(mat, v), x)
+
+
 def spmm(mat, B, *, method: str | None = None) -> jax.Array:
     """Y = A @ B for dense B of shape (n_cols, m)."""
     B = jnp.asarray(B)

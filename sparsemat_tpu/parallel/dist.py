@@ -75,9 +75,15 @@ class DistDIA:
         return dist_dia_spmv(self, x, mesh)
 
     def padded_vector(self, v, mesh: Mesh) -> jax.Array:
-        """Pad a global vector to the block grid and shard it by rows."""
-        v = jnp.asarray(v)
+        """Pad a global vector to the block grid and shard it by rows.
+        Host (numpy) input is placed directly onto the global sharding —
+        required when the mesh spans multiple processes."""
         pad = self.padded_rows - v.shape[0]
+        if isinstance(v, np.ndarray):
+            if pad:
+                v = np.concatenate([v, np.zeros((pad,), v.dtype)])
+            return jax.device_put(v, NamedSharding(mesh, P(self.axis)))
+        v = jnp.asarray(v)
         if pad:
             v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
         return jax.device_put(v, NamedSharding(mesh, P(self.axis)))
@@ -101,7 +107,7 @@ def distribute_dia(dia, mesh: Mesh, axis: str = ROWS_AXIS) -> DistDIA:
     r = padded // n_blocks
     blocks = data.reshape(data.shape[0], n_blocks, r).transpose(1, 0, 2)
     sharded = jax.device_put(
-        jnp.asarray(blocks), NamedSharding(mesh, P(axis, None, None)))
+        blocks, NamedSharding(mesh, P(axis, None, None)))
     return DistDIA(data=sharded, offsets=tuple(dia.offsets),
                    shape=dia.shape, axis=axis)
 
@@ -268,9 +274,9 @@ def distribute_csr(csr, mesh: Mesh, axis: str = ROWS_AXIS,
                 cols_b[b, li, : e - s] = indices[s:e]
                 vals_b[b, li, : e - s] = data[s:e]
         return DistELL(
-            cols=jax.device_put(jnp.asarray(cols_b),
+            cols=jax.device_put(cols_b,
                                 NamedSharding(mesh, P(axis, None, None))),
-            vals=jax.device_put(jnp.asarray(vals_b),
+            vals=jax.device_put(vals_b,
                                 NamedSharding(mesh, P(axis, None, None))),
             shape=csr.shape, axis=axis)
 
@@ -294,10 +300,10 @@ def distribute_csr(csr, mesh: Mesh, axis: str = ROWS_AXIS,
             np.arange(hi - lo, dtype=np.int32), np.diff(indptr[lo : hi + 1]))
     spec = NamedSharding(mesh, P(axis, None))
     return DistCSR(
-        indptr=jax.device_put(jnp.asarray(indptr_b), spec),
-        indices=jax.device_put(jnp.asarray(indices_b), spec),
-        data=jax.device_put(jnp.asarray(data_b), spec),
-        local_rows=jax.device_put(jnp.asarray(lrows_b), spec),
+        indptr=jax.device_put(indptr_b, spec),
+        indices=jax.device_put(indices_b, spec),
+        data=jax.device_put(data_b, spec),
+        local_rows=jax.device_put(lrows_b, spec),
         shape=csr.shape, axis=axis)
 
 
@@ -415,10 +421,10 @@ def distribute_slab(csr, mesh: Mesh, axis: str = ROWS_AXIS,
     spec3 = NamedSharding(mesh, P(axis, None, None, None))
     spec1 = NamedSharding(mesh, P(axis, None))
     return DistSlab(
-        vals=jax.device_put(jnp.asarray(vals.reshape((n_dev, nrb_l) + vals.shape[1:])), spec3),
-        lidx=jax.device_put(jnp.asarray(lidx.reshape((n_dev, nrb_l) + lidx.shape[1:])), spec3),
+        vals=jax.device_put(vals.reshape((n_dev, nrb_l) + vals.shape[1:]), spec3),
+        lidx=jax.device_put(lidx.reshape((n_dev, nrb_l) + lidx.shape[1:]), spec3),
         win_lo=jax.device_put(
-            jnp.asarray(wlo_local.reshape(n_dev, nrb_l).astype(np.int32)), spec1),
+            wlo_local.reshape(n_dev, nrb_l).astype(np.int32), spec1),
         shape=csr.shape, buckets=sl.buckets, halo_windows=h,
         local_windows=w_l, axis=axis)
 
