@@ -3,25 +3,42 @@
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` reports
-the fraction of the *measured* HBM-bandwidth roofline achieved by the best
-SpMV path (BASELINE.json north-star target: >= 0.70 of roofline nnz/s per
-chip).  Detailed per-config results go to stderr.
+the fraction of the measured-stream roofline achieved by the HBM-bound
+headline SpMV (BASELINE.json north-star target: >= 0.70 of roofline nnz/s
+per chip).  Detailed per-config results go to stderr.
 
-Methodology: per-dispatch overhead through the TPU tunnel is ~1 ms, far
+Honesty rules (VERDICT r1 "what's weak" #2/#8):
+ * Roofline denominator = the best MEASURED stream bandwidth on this chip
+   (XLA scale/triad chains — the fastest memory movers we can observe),
+   with the spec number reported alongside for reference.
+ * Per-config traffic = ``mat.spmv_traffic_bytes()``: the layout
+   speed-of-light bytes (stored arrays + x once + y once) — a true lower
+   bound for any kernel on that layout, so no fraction can exceed 1.
+ * VMEM-resident regimes (config 1 chained) are reported as raw Gnnz/s —
+   the HBM roofline does not bind there and no fraction is claimed.
+
+Methodology: per-dispatch overhead through the TPU tunnel is ~25-40 ms, far
 larger than the kernels — so every timing runs K chained iterations *inside
 one jitted program* (x_{k+1} = f(x_k)) and divides, the same way the CG loop
-amortizes.  Bandwidth roofline is measured the same way on a big copy.
+amortizes.  Sync is ALWAYS a host readback of a value derived from the
+result (block_until_ready returns early on this platform — CLAUDE.md).
 
 Configs (BASELINE.json):
- 1. banded CSR, 1e4 rows, ~5 nnz/row, f32      (the stated config 1)
- 2. large banded, 2^20 rows, 5 diagonals, f32  (bandwidth-saturating size)
- 3. CG on 2D 5-point Poisson 512², f32         (iterations/second)
+ 1. banded CSR, 1e4 rows, ~5 nnz/row, f32 — single-dispatch + VMEM-chained
+ 2. banded DIA, 2^24 rows, 5 diagonals, f32 — HBM-bound HEADLINE
+ 3. CG on 2D 5-point Poisson — f32 512^2/2048^2 + f64 1024^2 to 1e-8
+    (mixed-precision iterative refinement; subprocess with x64)
+ 4. pwtk/cant/scircuit-class surrogates through save_mtx/load_mtx:
+    SpMV (slab + csr-stream + well), SpMM (slab, m=128), SpGEMM (A @ A)
+ 5. assembly inserts through the C++ hash store
 """
 
 import functools
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -31,9 +48,8 @@ import jax.numpy as jnp
 
 # persistent compile cache: repeat bench runs skip the (slow, occasionally
 # flaky) remote-compile round trips
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
@@ -113,29 +129,31 @@ def time_chained(step_fn, x0, captures=(), reps=2, target_secs=1.0,
     return max(best - rtt, 1e-9) / inner
 
 
-#: Spec HBM bandwidth per chip (bytes/s) — roofline denominator.  The
-#: stream probe below under-measures (roll/concat overhead), so the roofline
-#: uses the spec number for the known chip generation and falls back to the
-#: measured value otherwise.
+#: Spec HBM bandwidth per chip (bytes/s) — reported for reference; the
+#: roofline denominator is the measured stream bandwidth below.
 HBM_SPEC = {"v5e": 819e9, "v5p": 2765e9, "v4": 1228e9, "v6e": 1640e9}
 
 
-def measure_hbm_bw():
-    """Achieved HBM bandwidth: chained v ← roll(v) + a over 256 MB buffers.
-    The roll + second operand defeat both elementwise-chain fusion and
-    algebraic collapse, so each iteration really moves 2 reads + 1 write."""
+def measure_stream_bw():
+    """Best measured stream bandwidth: chained XLA scale (2 passes) and
+    triad (3 passes) over 256 MB.  These are the fastest memory movers we
+    can observe on this chip, so they are the honest roofline denominator
+    (the earlier roll-based probe under-measured ~40% — its lowering does
+    extra passes)."""
     n = 1 << 26
     x = jnp.ones((n,), jnp.float32)
     a = jnp.full((n,), 1e-9, jnp.float32)
-    dt = time_chained(lambda v, aa: jnp.roll(v, 12 * 1024) + aa, x,
-                      captures=(a,), inner=300)
-    measured = 3 * n * 4 / dt
+    dt2 = time_chained(lambda v: v * np.float32(0.9999999), x, ())
+    bw_scale = 2 * n * 4 / dt2
+    dt3 = time_chained(lambda v, aa: v * np.float32(0.9999999) + aa, x, (a,))
+    bw_triad = 3 * n * 4 / dt3
+    bw = max(bw_scale, bw_triad)
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
     spec = HBM_SPEC.get(gen)
-    bw = spec or measured
-    log(f"HBM bandwidth: measured stream {measured/1e9:.0f} GB/s; roofline uses "
-        f"{'spec ' + gen + ' ' if spec else 'measured '}{bw/1e9:.0f} GB/s")
-    return bw
+    log(f"stream bandwidth: scale {bw_scale/1e9:.0f} GB/s, triad "
+        f"{bw_triad/1e9:.0f} GB/s → roofline uses {bw/1e9:.0f} GB/s"
+        + (f" (spec {gen}: {spec/1e9:.0f} GB/s)" if spec else ""))
+    return bw, (spec or bw)
 
 
 def banded_csr(n_rows, offsets, dtype=np.float32, seed=0):
@@ -206,98 +224,199 @@ def check_dia_sampled(dia, x, y, n_check=2048):
     return np.abs(ys - ref).max() / max(np.abs(ref).max(), 1e-30)
 
 
-def bench_spmv(name, mat_scipy, hbm_bw, variant_names=("csr_stream", "ell", "dia")):
+def bench_spmv_variants(name, mat_scipy, bw, variants):
+    """Time each frozen variant of ``mat_scipy``; report Gnnz/s and the
+    fraction of the layout speed-of-light (spmv_traffic_bytes @ measured
+    stream bw).  Returns {variant: (gnnz_s, frac)}."""
     import sparsemat_tpu as smt
 
     nnz = mat_scipy.nnz
-    n = mat_scipy.shape[0]
+    n = mat_scipy.shape[1]
     x = jnp.asarray(np.random.default_rng(1).standard_normal(n).astype(np.float32))
-    # damping folded into the matrix values so the timed chain is PURE spmv
-    # (an out-of-kernel damping multiply would add a full read+write pass)
-    mat_scipy = mat_scipy * 5e-4
     csr = smt.CSR.from_scipy(mat_scipy)
     y_ref = mat_scipy @ np.asarray(x)
-    nrm = np.abs(y_ref).max()
+    nrm = max(np.abs(y_ref).max(), 1e-30)
 
     results = {}
-    all_variants = {
-        "csr_stream": lambda: csr,
-        "ell": csr.to_ell,
-        "dia": csr.to_dia,
-        "auto": lambda: smt.auto_format(csr),
-    }
-    variants = {k: all_variants[k]() for k in variant_names}
-    for vname, mat in variants.items():
+    for vname, make in variants.items():
         try:
+            mat = make(csr)
             y = jax.jit(smt.spmv)(mat, x)
-            err = np.abs(np.asarray(y) - y_ref).max() / max(nrm, 1e-30)
+            err = np.abs(np.asarray(y) - y_ref).max() / nrm
             if err > 1e-4:
                 log(f"  {name}/{vname}: WRONG RESULT (rel err {err:.1e}) — skipped")
                 continue
-            # chain y -> x (square matrix); the in-matrix damping bounds
-            # growth (values decay toward 0 — timing is unaffected)
-            dt = time_chained(lambda v, m: smt.spmv(m, v), x,
-                              captures=(mat,))
-            results[vname] = nnz / dt
-            log(f"  {name}/{vname:12s}: {dt*1e6:9.1f} us/spmv  {nnz/dt/1e9:7.3f} Gnnz/s")
+            dt = time_chained(lambda v, m: smt.spmv(m, v), x, captures=(mat,))
+            sol_bytes = mat.spmv_traffic_bytes()
+            frac = sol_bytes / dt / bw
+            results[vname] = (nnz / dt, frac)
+            log(f"  {name}/{vname:12s}: {dt*1e6:9.1f} us/spmv "
+                f"{nnz/dt/1e9:7.3f} Gnnz/s  {100*frac:5.1f}% of layout "
+                f"speed-of-light ({sol_bytes/1e6:.1f} MB/spmv)")
         except Exception as e:  # pragma: no cover - defensive bench path
-            log(f"  {name}/{vname}: failed — {str(e)[:120]}")
-
-    best = max(results, key=results.get)
-    # roofline: DIA-style per-nnz traffic — 4B value + 4B x read per nnz,
-    # plus 4B y write per row (the normalize pass adds ~2 more passes over
-    # n*4B, charged below so the fraction is honest)
-    bytes_per_spmv = nnz * 8.0 + 2 * n * 4.0
-    roofline = hbm_bw / bytes_per_spmv * nnz
-    frac = results[best] / roofline
-    log(f"  {name}: best={best} {results[best]/1e9:.3f} Gnnz/s, roofline "
-        f"{roofline/1e9:.3f} Gnnz/s → {100*frac:.1f}% of speed-of-light")
-    return results[best], frac
+            log(f"  {name}/{vname}: failed — {str(e)[:140]}")
+    return results
 
 
-def bench_cg(hbm_bw, n=512):
+def bench_cg(bw, n=512, iters=None):
+    """f32 CG iterations/s on 2D Poisson; asserts the loop really ran
+    ``iters`` iterations (a data-dependent while_loop that exits early
+    would otherwise fake the rate)."""
     from sparsemat_tpu import solvers
 
     m = n * n
     A = poisson2d_dia_device(n)
-    nnz = int(np.asarray(A.n_non_zero_entries()))
     b = jnp.ones((m,), jnp.float32)
-    iters = 2000 if m < 10**6 else 300
+    if iters is None:
+        iters = 2000 if m < 10**6 else 300
 
-    f = jax.jit(lambda mat, rhs: solvers.cg(mat, rhs, tol=0.0, maxiter=iters)[0])
+    f = jax.jit(lambda mat, rhs: solvers.cg(mat, rhs, tol=0.0, maxiter=iters))
     rtt = tunnel_rtt()
-    _sync_scalar(f(A, b))
+    x, info = f(A, b)
+    k = int(info.iterations)
+    assert k == iters, f"CG exited early: {k}/{iters}"
+    _sync_scalar(x)
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync_scalar(f(A, b))
+        x, info = f(A, b)
+        _sync_scalar(x)
         best = min(best, (time.perf_counter() - t0 - rtt) / iters)
     ips = 1.0 / best
-    # one CG iter ≈ 1 spmv (diag data nnz*4B + 3 vector passes) + ~5 more
-    # vector passes for axpys/dots; XLA fuses several of these, so >100%
-    # means the model overestimates traffic, not that the chip beat physics
-    iter_bytes = nnz * 4.0 + 8 * m * 4.0
-    frac = iter_bytes / best / hbm_bw
-    note = " (>100% ⇒ traffic model conservative / VMEM-resident)" if frac > 1 else ""
-    log(f"  CG Poisson {m} rows f32: {ips:,.0f} iterations/s "
-        f"({best*1e6:.0f} us/iter, ~{100*frac:.1f}% of HBM roofline{note})")
+    # honest per-iteration traffic LOWER bound: one SpMV at layout
+    # speed-of-light + axpy/dot vector passes (x,r read+write; Ap re-read;
+    # p re-read; p update read r,p write p) ≈ 9 n-vectors
+    iter_bytes = A.spmv_traffic_bytes() + 9 * m * 4
+    frac = iter_bytes / best / bw
+    log(f"  CG Poisson {m:,} rows f32: {ips:,.0f} iters/s "
+        f"({best*1e6:.0f} us/iter, {100*frac:.1f}% of speed-of-light, "
+        f"residual {float(info.residual_norm):.3e} after {iters})")
     return ips, frac
 
 
+def bench_cg_f64_subprocess():
+    """BASELINE config 3: f64 CG on 1024² 2D Poisson to 1e-8 ABSOLUTE
+    residual, via mixed-precision iterative refinement (f64 outer SpMV —
+    XLA-emulated on TPU — steering f32 inner CG).  Runs in a subprocess
+    because x64 is a process-global JAX mode."""
+    code = r"""
+import json, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+sys.path.insert(0, %r)
+import bench
+from sparsemat_tpu import solvers
+from sparsemat_tpu.formats.dia import DIA
+import functools
+
+def poisson(n, dtype):
+    @functools.partial(jax.jit, static_argnames=("nn",))
+    def build(nn):
+        m = nn * nn
+        i = jnp.arange(m, dtype=jnp.int32)
+        return jnp.stack([
+            jnp.where(i >= nn, -1.0, 0.0),
+            jnp.where(i %% nn != 0, -1.0, 0.0),
+            jnp.full((m,), 4.0, jnp.float32),
+            jnp.where(i %% nn != nn - 1, -1.0, 0.0),
+            jnp.where(i < m - nn, -1.0, 0.0)]).astype(dtype)
+    m = n * n
+    return DIA(data=build(n), offsets=(-n, -1, 0, 1, n), shape=(m, m))
+
+n = 1024
+m = n * n
+A64 = poisson(n, jnp.float64)
+A32 = poisson(n, jnp.float32)
+b = jnp.ones((m,), jnp.float64)
+
+# pure-f64 CG rate (100 fixed iterations; XLA software-emulated f64)
+iters = 100
+f = jax.jit(lambda mat, rhs: solvers.cg(mat, rhs, tol=0.0, maxiter=iters))
+x, info = f(A64, b)
+r0 = float(info.residual_norm)
+best = np.inf
+for _ in range(2):
+    t0 = time.time()
+    x, info = f(A64, b)
+    rr = float(info.residual_norm)
+    best = min(best, time.time() - t0)
+f64_ips = iters / best
+
+# mixed-precision refinement to 1e-8 absolute residual
+t0 = time.time()
+x, rinfo = solvers.refine(A64, b, A_low=A32, tol=1e-8,
+                          inner_rtol=1e-2, inner_maxiter=6000, max_outer=60)
+wall = time.time() - t0
+res = float(rinfo.residual_norm)
+inner_it = int(rinfo.iterations)
+print(json.dumps({
+    "f64_cg_iters_per_s": round(f64_ips, 2),
+    "refine_wall_s": round(wall, 1),
+    "refine_residual": res,
+    "refine_converged": bool(rinfo.converged),
+    "refine_inner_iters": inner_it,
+    "refine_inner_iters_per_s": round(inner_it / max(wall, 1e-9), 1),
+    "rows": m,
+}))
+""" % _REPO
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1500, cwd=_REPO)
+        line = out.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        log(f"  f64 CG 1024² Poisson: {d['f64_cg_iters_per_s']:.1f} iters/s "
+            f"(pure f64, XLA-emulated); refine → residual "
+            f"{d['refine_residual']:.2e} in {d['refine_wall_s']}s "
+            f"({d['refine_inner_iters']} f32 inner iters)")
+        return d
+    except Exception as e:  # pragma: no cover
+        log(f"  f64 CG subprocess failed: {str(e)[:200]}")
+        return None
+
+
 def main():
-    log(f"devices: {jax.devices()}")
-    hbm_bw = measure_hbm_bw()
+    import scipy.sparse as sp
 
-    # config 1 (BASELINE.json): 1e4 rows ~5 nnz/row — small enough to be
-    # VMEM-resident across solver iterations (fractions >1 are real: the
-    # HBM roofline doesn't bind in that regime)
-    small = banded_csr(10_000, [-100, -1, 0, 1, 100])
-    small_nnz_s, _ = bench_spmv("banded_1e4", small, hbm_bw,
-                                variant_names=("csr_stream", "ell", "dia"))
-
-    # HBM-bound headline: 2^24 rows × 5 diagonals = 84M nnz, ~400 MB/pass
     import sparsemat_tpu as smt
+    from sparsemat_tpu import io as smtio
+    from sparsemat_tpu import matgen
 
+    log(f"devices: {jax.devices()}")
+    bw, spec_bw = measure_stream_bw()
+    detail = {"stream_bw_gb_s": round(bw / 1e9, 1),
+              "spec_bw_gb_s": round(spec_bw / 1e9, 1)}
+
+    # ---- config 1: banded 1e4 rows (latency regime) -------------------------
+    small = banded_csr(10_000, [-100, -1, 0, 1, 100]) * 5e-4
+    res1 = bench_spmv_variants(
+        "banded_1e4", small, bw,
+        {"csr_stream": lambda c: c, "ell": lambda c: c.to_ell(),
+         "dia": lambda c: c.to_dia()})
+    best1 = max(v[0] for v in res1.values()) if res1 else 0.0
+    detail["spmv_banded_1e4_gnnz_per_s"] = round(best1 / 1e9, 3)
+    # VMEM-resident chained rate (the solver-loop regime): matrix loaded
+    # from HBM once for the whole chain → HBM roofline does not bind
+    dia_s = smt.CSR.from_scipy(small).to_dia()
+    xs = jnp.asarray(np.random.default_rng(1)
+                     .standard_normal(10_000).astype(np.float32))
+    k = 1024
+    rtt = tunnel_rtt()
+    fchain = jax.jit(lambda m, v: smt.spmv_chain(m, v, k))
+    _sync_scalar(fchain(dia_s, xs))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync_scalar(fchain(dia_s, xs))
+        best = min(best, (time.perf_counter() - t0 - rtt) / k)
+    chain_nnz_s = small.nnz / best
+    log(f"  banded_1e4/chain(k={k}): {best*1e6:.3f} us/spmv "
+        f"{chain_nnz_s/1e9:.1f} Gnnz/s (VMEM-resident fused chain)")
+    detail["spmv_banded_1e4_chained_gnnz_per_s"] = round(chain_nnz_s / 1e9, 1)
+
+    # ---- config 2 (HEADLINE): 2^24-row banded DIA, HBM-bound ----------------
     n_big = 1 << 24
     big = banded_dia_device(n_big, [-4096, -1, 0, 1, 4096]).scale(5e-4)
     x_big = jax.random.normal(jax.random.PRNGKey(99), (n_big,), jnp.float32)
@@ -305,54 +424,106 @@ def main():
     err = check_dia_sampled(big, x_big, y_big)
     if err > 1e-4:
         log(f"  banded_16M: WRONG RESULT rel err {err:.1e}")
-    nnz_big = int(np.asarray(big.n_non_zero_entries()))
+    nnz_big = 5 * n_big
     dt = time_chained(lambda v, m: smt.spmv(m, v), x_big,
                       captures=(big,), inner=400)
     big_nnz_s = nnz_big / dt
-    bytes_per = nnz_big * 8.0 + 2 * n_big * 4.0
-    big_frac = (bytes_per / dt) / hbm_bw
+    sol_bytes = big.spmv_traffic_bytes()
+    big_frac = (sol_bytes / dt) / bw
+    spec_frac = (sol_bytes / dt) / spec_bw
     log(f"  banded_16M/dia: {dt*1e6:.1f} us/spmv  {big_nnz_s/1e9:.3f} Gnnz/s "
-        f"→ {100*big_frac:.1f}% of HBM roofline (sampled check err {err:.1e})")
+        f"→ {100*big_frac:.1f}% of measured-stream roofline "
+        f"({100*spec_frac:.1f}% of spec; sampled check err {err:.1e})")
+    detail["spmv_banded_16M_gnnz_per_s"] = round(big_nnz_s / 1e9, 3)
+    detail["spmv_banded_16M_spec_frac"] = round(spec_frac, 4)
 
-    # scattered bounded-span regime (SuiteSparse/FEM stand-in, BASELINE
-    # configs 4-5): 218k rows × ~55 random entries in a ±200 band →
-    # SlabELL window buckets
-    rng = np.random.default_rng(0)
-    n_sc, k_sc, band = 217_918, 55, 200
-    rr = np.repeat(np.arange(n_sc), k_sc)
-    cc = rr + rng.integers(-band, band + 1, size=rr.shape)
-    ok = (cc >= 0) & (cc < n_sc)
-    import scipy.sparse as sp
+    # ---- config 4: SuiteSparse-class surrogates through load_mtx ------------
+    # pwtk-class (FEM dof-blocked, mixed nnz/row) — written to a real .mtx
+    # file and read back through io.load_mtx (C++ fast path), proving the
+    # whole file pipeline end-to-end at scale
+    fem = (matgen.fem_block_band() * np.float32(2e-2)).astype(np.float32).tocsr()
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "fem_block_band.mtx")
+        t0 = time.perf_counter()
+        smtio.save_mtx(smt.CSR.from_scipy(fem), p)
+        t_save = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fem_csr = smtio.load_mtx(p, dtype=np.float32)
+        t_load = time.perf_counter() - t0
+        sz = os.path.getsize(p)
+    log(f"  fem_217k: {fem.shape[0]:,} rows, {fem.nnz:,} nnz "
+        f"({fem.nnz/fem.shape[0]:.1f}/row) — .mtx round-trip "
+        f"{sz/1e6:.0f} MB, save {t_save:.1f}s, load {t_load:.1f}s "
+        f"({fem.nnz/t_load/1e6:.1f} M entries/s)")
+    detail["load_mtx_mentries_per_s"] = round(fem.nnz / t_load / 1e6, 1)
+    fem_sp = fem  # scipy oracle
+    res_fem = bench_spmv_variants(
+        "fem_217k", fem_sp, bw,
+        {"slab": lambda c: c.to_slab(), "csr_stream": lambda c: c})
+    if res_fem:
+        bestv = max(res_fem, key=lambda kk: res_fem[kk][0])
+        detail["spmv_fem_217k_gnnz_per_s"] = round(res_fem[bestv][0] / 1e9, 3)
 
-    scat = sp.coo_matrix(
-        (rng.standard_normal(int(ok.sum())).astype(np.float32),
-         (rr[ok], cc[ok])), shape=(n_sc, n_sc)).tocsr()
-    scat.sum_duplicates()
-    scat = scat * 2e-2  # in-matrix damping (see bench_spmv)
-    slab = smt.CSR.from_scipy(scat).to_slab()
-    x_sc = jnp.asarray(rng.standard_normal(n_sc).astype(np.float32))
-    y_sc = jax.jit(smt.spmv)(slab, x_sc)
-    err_sc = np.abs(np.asarray(y_sc) - scat @ np.asarray(x_sc)).max()
-    dt_sc = time_chained(lambda v, m: smt.spmv(m, v), x_sc,
-                         captures=(slab,))
-    scat_nnz_s = scat.nnz / dt_sc
-    log(f"  scattered_218k/slab: {dt_sc*1e6:.1f} us/spmv  "
-        f"{scat_nnz_s/1e9:.3f} Gnnz/s (S={slab.slab_windows}, "
-        f"pad x{slab.nse/scat.nnz:.2f}, abs err {err_sc:.1e})")
+    # SpMM (config 4): slab kernel column sweep, m=128, validated sampled
+    m_rhs = 128
+    B = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (fem.shape[1], m_rhs)).astype(np.float32) * 0.01)
+    slab = fem_csr.to_slab()
+    Y = jax.jit(smt.spmm)(slab, B)
+    ys = np.asarray(Y[:256, :8])
+    refY = (fem_sp[:256] @ np.asarray(B[:, :8])).astype(np.float32)
+    errY = np.abs(ys - refY).max() / max(np.abs(refY).max(), 1e-30)
+    dtY = time_chained(lambda b2, m2: smt.spmm(m2, b2), B, (slab,),
+                       max_inner=200)
+    log(f"  fem_217k/spmm(m=128): {dtY*1e3:.1f} ms  "
+        f"{fem.nnz*m_rhs/dtY/1e9:.1f} Gnnz·col/s  "
+        f"{2*fem.nnz*m_rhs/dtY/1e12:.3f} Tflop/s (err {errY:.1e})")
+    detail["spmm_fem_217k_gnnzcol_per_s"] = round(fem.nnz * m_rhs / dtY / 1e9, 2)
 
-    # assembly path (BASELINE config 2): random add_to inserts through the
-    # C++ hash store, then freeze to CSR + one SpMV validated vs scipy
+    # scircuit-class (power-law global scatter)
+    circ = (matgen.circuit_scatter() * np.float32(2e-2)).astype(np.float32).tocsr()
+    res_circ = bench_spmv_variants(
+        "scircuit_171k", circ, bw,
+        {"csr_stream": lambda c: c, "well": lambda c: c.to_well()})
+    if res_circ:
+        bestv = max(res_circ, key=lambda kk: res_circ[kk][0])
+        detail["spmv_scircuit_gnnz_per_s"] = round(res_circ[bestv][0] / 1e9, 3)
+
+    # SpGEMM (config 4): A @ A on both surrogates, device-side chunked with
+    # the dual-stream power-law split; validated by operator probe
+    rngp = np.random.default_rng(5)
+    for nm, spm in (("scircuit", circ), ("fem_217k", fem_sp)):
+        A = smt.CSR.from_scipy(spm)
+        t0 = time.perf_counter()
+        C = smt.spgemm(A, A)
+        _sync_scalar(C.to_coo().vals)
+        cold = time.perf_counter() - t0
+        v = rngp.standard_normal(spm.shape[1]).astype(np.float32)
+        cv = np.asarray(jax.jit(smt.spmv)(C.to_csr(), jnp.asarray(v)))
+        rv = spm @ (spm @ v)
+        errp = np.abs(cv - rv).max() / max(np.abs(rv).max(), 1e-30)
+        t0 = time.perf_counter()
+        C2 = smt.spgemm(A, A)
+        _sync_scalar(C2.to_coo().vals)
+        warm = time.perf_counter() - t0
+        nnz_out = (spm @ spm).nnz
+        log(f"  spgemm {nm} A@A: warm {warm:.2f}s → "
+            f"{nnz_out/warm/1e6:.2f} M out-nnz/s (cold {cold:.1f}s, "
+            f"out nnz {nnz_out:,}, probe err {errp:.1e})")
+        detail[f"spgemm_{nm}_mnnz_per_s"] = round(nnz_out / warm / 1e6, 2)
+
+    # ---- assembly (config 2 of BASELINE): C++ hash-store inserts ------------
     n_ins = 2_000_000
     rng2 = np.random.default_rng(5)
     ir = rng2.integers(0, 100_000, n_ins)
     ic = rng2.integers(0, 100_000, n_ins)
     iv = rng2.standard_normal(n_ins)
-    b = smt.SparseBuilder()
+    builder = smt.SparseBuilder()
     t0 = time.perf_counter()
-    b.add_batch(ir, ic, iv)
+    builder.add_batch(ir, ic, iv)
     t_ins = time.perf_counter() - t0
     t0 = time.perf_counter()
-    frozen = b.to_csr()
+    frozen = builder.to_csr()
     t_freeze = time.perf_counter() - t0
     xa = rng2.standard_normal(frozen.shape[1]).astype(np.float32)
     ya = np.asarray(smt.spmv(frozen, jnp.asarray(xa)))
@@ -362,25 +533,28 @@ def main():
     ins_per_s = n_ins / t_ins
     log(f"  assembly: {ins_per_s/1e6:.1f}M inserts/s (batch add_to via C++ "
         f"store), freeze {t_freeze*1e3:.0f} ms, spmv err {err_a:.1e}")
+    detail["assembly_minserts_per_s"] = round(ins_per_s / 1e6, 1)
 
-    cg_small_ips, _ = bench_cg(hbm_bw, n=512)        # VMEM regime
-    cg_big_ips, cg_big_frac = bench_cg(hbm_bw, n=2048)  # HBM regime, 4.2M rows
+    # ---- config 3: CG ---------------------------------------------------------
+    cg_small_ips, _ = bench_cg(bw, n=512)            # VMEM-ish regime
+    cg_big_ips, cg_big_frac = bench_cg(bw, n=2048)   # HBM regime, 4.2M rows
+    detail["cg_poisson_262k_iters_per_s"] = round(cg_small_ips, 1)
+    detail["cg_poisson_4M_iters_per_s"] = round(cg_big_ips, 1)
+    detail["cg_poisson_4M_sol_frac"] = round(cg_big_frac, 4)
+
+    d64 = bench_cg_f64_subprocess()
+    if d64:
+        detail["f64_cg_1M_iters_per_s"] = d64["f64_cg_iters_per_s"]
+        detail["f64_refine_residual"] = d64["refine_residual"]
+        detail["f64_refine_wall_s"] = d64["refine_wall_s"]
+        detail["f64_refine_converged"] = d64["refine_converged"]
 
     print(json.dumps({
-        "metric": "spmv_fraction_of_hbm_roofline_banded_16M",
+        "metric": "spmv_fraction_of_measured_stream_roofline_banded_16M",
         "value": round(big_frac, 4),
         "unit": "fraction",
         "vs_baseline": round(big_frac / 0.70, 4),  # target: ≥70% of roofline
-        "detail": {
-            "spmv_banded_16M_gnnz_per_s": round(big_nnz_s / 1e9, 3),
-            "spmv_banded_1e4_gnnz_per_s": round(small_nnz_s / 1e9, 3),
-            "spmv_scattered_218k_gnnz_per_s": round(scat_nnz_s / 1e9, 3),
-            "assembly_minserts_per_s": round(ins_per_s / 1e6, 1),
-            "cg_poisson_262k_iters_per_s": round(cg_small_ips, 1),
-            "cg_poisson_4M_iters_per_s": round(cg_big_ips, 1),
-            "cg_poisson_4M_roofline_frac": round(cg_big_frac, 4),
-            "hbm_bw_gb_s": round(hbm_bw / 1e9, 1),
-        },
+        "detail": detail,
     }))
 
 

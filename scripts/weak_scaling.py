@@ -48,6 +48,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the axon TPU plugin overrides the JAX_PLATFORMS env var; make an
+    # explicit env request binding via the config API (see tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if args.multihost:
         from sparsemat_tpu.parallel.multihost import init_distributed
 
@@ -85,9 +90,14 @@ def main():
 
     base = results[sizes[0]]
     eff = {P: round(results[P] / base, 4) for P in sizes}
-    print(json.dumps({"rows_per_dev": args.rows_per_dev,
-                      "weak_scaling_iters_per_s": results,
-                      "efficiency_vs_1dev": eff}))
+    out = {"rows_per_dev": args.rows_per_dev,
+           "weak_scaling_iters_per_s": results,
+           "efficiency_vs_1dev": eff}
+    if jax.devices()[0].platform == "cpu":
+        out["note"] = ("virtual CPU devices share one physical CPU — "
+                       "efficiency here only checks the code path, not "
+                       "scaling; run on a pod slice for real numbers")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

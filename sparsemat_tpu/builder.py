@@ -189,6 +189,7 @@ class SparseBuilder:
         self.index_dtype = jnp.dtype(index_dtype)
         self._fixed_shape = tuple(shape) if shape is not None else None
         self._column_info_fresh = False
+        self._iter_cache = None
 
     # ≈ with_capacity (src/sparsematrix.rs:84)
     @classmethod
@@ -228,10 +229,12 @@ class SparseBuilder:
     # -- writes (insert-if-absent, one entry per coordinate) -----------------
     def add_to(self, i: int, j: int, v) -> None:
         self._column_info_fresh = False
+        self._iter_cache = None
         self._store.add_to(int(i), int(j), v)
 
     def set(self, i: int, j: int, v) -> None:
         self._column_info_fresh = False
+        self._iter_cache = None
         self._store.set(int(i), int(j), v)
 
     def get(self, i: int, j: int):
@@ -247,10 +250,12 @@ class SparseBuilder:
         """Vectorized add_to — the recommended assembly path (amortizes the
         per-call overhead the reference pays per get_mut)."""
         self._column_info_fresh = False
+        self._iter_cache = None
         self._store.add_batch(rows, cols, vals)
 
     def set_batch(self, rows, cols, vals) -> None:
         self._column_info_fresh = False
+        self._iter_cache = None
         self._store.set_batch(rows, cols, vals)
 
     def scale(self, s) -> "SparseBuilder":
@@ -265,11 +270,33 @@ class SparseBuilder:
             for p in range(indptr[i], indptr[i + 1]):
                 yield i, int(cols[p]), self.dtype.type(vals[p])
 
+    def _insertion_view(self):
+        """Cached insertion-order export plus per-row/per-column position
+        indexes (rebuilt only after mutations) — row/column iteration is
+        O(entries in that row/column) per call instead of O(total nnz)
+        (the reference walks a per-row chain, src/indexlist.rs:85-90; the
+        round-1 implementation re-exported the whole store per call)."""
+        if self._iter_cache is None:
+            rows, cols, vals = self._store.export_insertion()
+            nr, nc = self.shape
+            ro = np.argsort(rows, kind="stable")   # keeps insertion order
+            rptr = np.zeros(nr + 2, np.int64)
+            np.add.at(rptr, rows + 1, 1)
+            rptr = np.cumsum(rptr)
+            co = np.argsort(cols, kind="stable")
+            cptr = np.zeros(nc + 2, np.int64)
+            np.add.at(cptr, cols + 1, 1)
+            cptr = np.cumsum(cptr)
+            self._iter_cache = (rows, cols, vals, ro, rptr, co, cptr)
+        return self._iter_cache
+
     def iter_row(self, i: int) -> Iterator[Tuple[int, float]]:
         """(col, val) pairs of row i in insertion order
         (≈ iter_row, src/sparsemat_indexlist.rs:173-188)."""
-        rows, cols, vals = self._store.export_insertion()
-        for p in np.nonzero(rows == i)[0]:
+        rows, cols, vals, ro, rptr, _, _ = self._insertion_view()
+        if i < 0 or i + 1 >= len(rptr):
+            return
+        for p in ro[rptr[i]:rptr[i + 1]]:
             yield int(cols[p]), self.dtype.type(vals[p])
 
     def assemble_column_info(self) -> None:
@@ -286,8 +313,10 @@ class SparseBuilder:
         if not self._column_info_fresh:
             raise RuntimeError(
                 "column info is stale — call assemble_column_info() first")
-        rows, cols, vals = self._store.export_insertion()
-        for p in np.nonzero(cols == j)[0]:
+        rows, cols, vals, _, _, co, cptr = self._insertion_view()
+        if j < 0 or j + 1 >= len(cptr):
+            return
+        for p in co[cptr[j]:cptr[j + 1]]:
             yield int(rows[p]), self.dtype.type(vals[p])
 
     def get_row(self, i: int) -> SparseVec:

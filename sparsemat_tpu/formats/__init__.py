@@ -31,20 +31,29 @@ __all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "RowVec",
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
-                max_slab_waste: float = 8.0):
+                max_slab_waste: float = 24.0):
     """Pick the fastest compute format for a frozen matrix (host-side).
 
-    Heuristic (≈ the per-matrix kernel dispatch SURVEY.md §7 M3 calls for):
+    Heuristic (≈ the per-matrix kernel dispatch SURVEY.md §7 M3 calls for),
+    ordered by measured on-chip (v5e) throughput:
 
-    * few distinct diagonals → DIA (gather-free shifted FMAs);
+    * few distinct diagonals → DIA (gather-free shifted FMAs — the
+      speed-of-light path, ~90 Gnnz/s on a 5-diagonal 16M-row band);
     * tight nnz/row distribution → ELL (padding waste below
       ``max_ell_waste``×);
-    * skewed distribution → SELL (per-slice padding);
-    * scattered rows with bounded span (x windows fit in VMEM, bucket
-      padding below ``max_slab_waste``×) → SlabELL (bandwidth-bound
-      Pallas kernel; even heavily padded it beats the gather stream);
-    * fallback → CSR gather + segment-sum stream.
+    * scattered rows with bounded span (x windows fit in VMEM) → SlabELL.
+      The waste cap is deliberately generous: measured on a pwtk-class
+      surrogate, slab at ×14 padding still ran ~10× faster than the XLA
+      gather stream (6.7 vs 0.6 Gnnz/s) — padded streaming beats
+      per-element gathers on TPU;
+    * skewed distribution on a non-TPU backend → SELL (per-slice padding;
+      it has no Pallas kernel, so on TPU it would land on the slow COO
+      stream — skipped there);
+    * fallback → CSR gather + segment-sum stream (also the global-scatter
+      choice: measured faster than WELL on scircuit-class matrices, whose
+      one-entry-per-window tiles inflate WELL ×70).
     """
+    import jax
     import numpy as np
 
     csr = mat.to_csr()
@@ -57,9 +66,12 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
     n_rows = csr.shape[0]
     if kmax * n_rows <= max_ell_waste * nnz:
         return ELL.from_csr(csr)
-    sell = SELL.from_csr(csr, slice_height=8)
-    if sell.nse <= max_ell_waste * nnz:
-        return sell
+    d = jax.devices()[0]
+    on_tpu = "tpu" in d.platform.lower() or "TPU" in getattr(d, "device_kind", "")
+    if not on_tpu:
+        sell = SELL.from_csr(csr, slice_height=8)
+        if sell.nse <= max_ell_waste * nnz:
+            return sell
     slab = SlabELL.from_csr(csr)
     if (slab.x_bytes() <= 8 * 1024 * 1024
             and slab.nse <= max_slab_waste * nnz):

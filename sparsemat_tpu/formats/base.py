@@ -175,6 +175,21 @@ class SparseFormat:
 
         return ops.inner_prod(self, l, r)
 
+    def astype(self, dtype) -> "SparseFormat":
+        """Same structure, values cast to ``dtype`` (floating arrays only —
+        index/bookkeeping arrays keep their integer types).  The TPU
+        analogue of re-instantiating the reference's generics at another
+        <T> (src/types.rs:54-68); used by mixed-precision solvers."""
+        dtype = jnp.dtype(dtype)
+        updates = {}
+        for f in dataclasses.fields(self):  # type: ignore[arg-type]
+            if not f.metadata.get("pytree_node", True):
+                continue
+            arr = getattr(self, f.name)
+            if arr is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+                updates[f.name] = arr.astype(dtype)
+        return dataclasses.replace(self, **updates)  # type: ignore[type-var]
+
     # -- performance model ---------------------------------------------------
     #: array fields the SpMV hot path actually streams from HBM; None means
     #: "all array fields".  Formats override to exclude bookkeeping arrays
@@ -262,26 +277,15 @@ def sort_coo(rows, cols, vals, shape: Shape):
     """Sort COO triplets into canonical row-major, column-sorted order.
 
     Replaces the reference's per-row ``Sortable::sort_row`` chain rewrites
-    (src/sparsemat_indexlist.rs:102-109) with one device-wide key sort.
-    Padding entries (row == n_rows) sort to the tail automatically.
-
-    When the scalar key row*n_cols+col would exceed 31 bits and 64-bit ints
-    are unavailable (TPU default), falls back to two stable 32-bit sorts
-    (radix-style lexsort) — a silent int32 overflow would corrupt the
-    canonical order.
-    """
-    cdt = compute_index_dtype(rows.dtype)
-    n_rows, n_cols = shape
-    needs_64 = (int(n_rows) + 1) * max(int(n_cols), 1) >= np.iinfo(np.int32).max
-    if needs_64 and not jax.config.jax_enable_x64:
-        order = jnp.argsort(cols.astype(jnp.int32), stable=True)
-        order = order[jnp.argsort(rows.astype(jnp.int32)[order], stable=True)]
-    else:
-        key_dtype = jnp.int64 if needs_64 else cdt
-        key = (rows.astype(key_dtype) * jnp.asarray(n_cols, key_dtype)
-               + cols.astype(key_dtype))
-        order = jnp.argsort(key)
-    return rows[order], cols[order], vals[order], order
+    (src/sparsemat_indexlist.rs:102-109) with ONE device-wide multi-operand
+    ``lax.sort``: (row, col) are lexicographic keys, values ride as payload.
+    This needs no 64-bit fused key (immune to the int32 key overflow the
+    earlier formulation had to dodge) and measured several times faster on
+    TPU than argsort+gather chains — sorts dominate SpGEMM, so this is a
+    hot path.  Padding entries (row == n_rows) sort to the tail."""
+    r, c, v = jax.lax.sort(
+        (rows.astype(jnp.int32), cols.astype(jnp.int32), vals), num_keys=2)
+    return r.astype(rows.dtype), c.astype(cols.dtype), v
 
 
 def dedup_sorted_coo(rows, cols, vals, shape: Shape):

@@ -96,7 +96,7 @@ class COO(SparseFormat):
         (batch equivalent of Sortable::sort, src/sparsematrix.rs:355-366)."""
         if self.canonical:
             return self
-        r, c, v, _ = sort_coo(self.rows, self.cols, self.vals, self.shape)
+        r, c, v = sort_coo(self.rows, self.cols, self.vals, self.shape)
         r, c, v, _ = dedup_sorted_coo(r, c, v, self.shape)
         return COO(rows=r, cols=c, vals=v, shape=self.shape, canonical=True)
 

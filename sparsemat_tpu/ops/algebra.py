@@ -67,7 +67,7 @@ def add(a, b):
     rows = jnp.concatenate([ra, rb])
     cols = jnp.concatenate([cca, ccb])
     vals = jnp.concatenate([va.astype(dt), vb.astype(dt)])
-    r, c, v, _ = sort_coo(rows, cols, vals, shape)
+    r, c, v = sort_coo(rows, cols, vals, shape)
     r, c, v, _ = dedup_sorted_coo(r, c, v, shape)
     idt = ca.index_dtype
     out = COO(rows=r.astype(idt), cols=c.astype(idt), vals=v, shape=shape,
@@ -90,11 +90,17 @@ def transpose(a):
     new_cols = jnp.where(valid, coo.rows.astype(jnp.int32), 0)
     new_vals = jnp.where(valid, coo.vals, 0)
     shape = (n_cols, n_rows)
-    r, c, v, _ = sort_coo(new_rows, new_cols, new_vals, shape)
+    r, c, v = sort_coo(new_rows, new_cols, new_vals, shape)
     idt = coo.index_dtype
     out = COO(rows=r.astype(idt), cols=c.astype(idt), vals=v, shape=shape,
               canonical=True)
     return _same_format_as(a, out)
+
+
+#: cap on the materialized B-ELL operand of SpGEMM — a zipf-tailed operand
+#: (scircuit-class: one near-dense row) would otherwise inflate the (n, K)
+#: rectangle to gigabytes.  Above this the chunked path windows B's slots.
+_SPGEMM_ELL_BUDGET = 1 << 28  # 256 MB
 
 
 def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
@@ -130,49 +136,89 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
         raise DimensionError(
             f"spgemm: inner dimensions differ — {a.shape} @ {b.shape}")
     ca = a.to_coo()
-    bell = b.to_ell(n_cols_per_row=n_cols_per_row_b)
     shape = (a.shape[0], b.shape[1])
-    kb = bell.n_cols_per_row
-    adt = accum_dtype(jnp.result_type(ca.vals.dtype, bell.vals.dtype))
+    adt = accum_dtype(jnp.result_type(ca.vals.dtype, b.dtype))
 
     traced = isinstance(ca.vals, jax.core.Tracer)
-    if not traced and ca.nse * kb > max_fanout_slots:
-        return _same_format_as(a, _spgemm_device_chunked(
-            ca, bell, shape, kb, adt, max_fanout_slots, out_capacity))
+    if not traced:
+        bcsr = b.to_csr()
+        kb = (n_cols_per_row_b if n_cols_per_row_b is not None
+              else max(bcsr.max_row_nnz(), 1))
+        ell_bytes = bcsr.shape[0] * kb * 8
+        if ca.nse * kb > max_fanout_slots or ell_bytes > _SPGEMM_ELL_BUDGET:
+            return _same_format_as(a, _spgemm_device_chunked(
+                ca, bcsr, shape, kb, adt, max_fanout_slots, out_capacity))
 
+    bell = b.to_ell(n_cols_per_row=n_cols_per_row_b)
+    kb = bell.n_cols_per_row
     return _same_format_as(a, _spgemm_oneshot(ca, bell, shape, kb, adt))
 
 
-def _spgemm_device_chunked(ca, bell, shape, kb, adt, max_fanout_slots,
+def _pad_stream(rows, cols, vals, start, count, chunk_rows, n_rows, adt):
+    """Slice [start, start+count) of an entry stream, tail-padded to a whole
+    number of ``chunk_rows`` chunks (pad rows = n_rows ⇒ masked)."""
+    n_chunks = max(-(-count // chunk_rows), 1)
+    pad = n_chunks * chunk_rows - count
+    sl = slice(start, start + count)
+    return (jnp.concatenate([rows[sl], jnp.full((pad,), n_rows, jnp.int32)]),
+            jnp.concatenate([cols[sl], jnp.zeros((pad,), jnp.int32)]),
+            jnp.concatenate([vals[sl], jnp.zeros((pad,), adt)]),
+            n_chunks)
+
+
+def _spgemm_device_chunked(ca, bcsr, shape, kb_full, adt, max_fanout_slots,
                            out_capacity=None):
     """Device-resident chunked SpGEMM (see spgemm docstring).
 
     Replaces the round-1 host-merge path (per-chunk numpy readback — minutes
     over a ~MB/s device→host link) with an on-device accumulator; the only
-    readbacks are the fan-out estimate and the per-attempt overflow scalar.
-    """
+    host readbacks are O(1) scalars (fan-out estimate, stream-split sizes,
+    one overflow flag per pass).
+
+    Power-law/zipf operands (scircuit-class: a few near-dense rows) are
+    handled by a DUAL-STREAM split: A's entries are partitioned by whether
+    their B-row fits ``k_t`` slots (a high percentile of the reached-row
+    degree).  The short stream expands in one (chunked) pass at k_t slots;
+    the heavy stream — typically a tiny fraction — loops B-slot windows of
+    width ``kc``.  A single (n, K_max) B-ELL rectangle is never
+    materialized (it would be gigabytes when K_max is near-dense)."""
     import numpy as np
 
     n_rows, n_cols = shape
-    chunk_rows = max(max_fanout_slots // max(kb, 1), 1)
+    n_b = bcsr.shape[0]
+    # B-slot window width bounded by the ELL memory budget
+    kc = int(min(kb_full, max(_SPGEMM_ELL_BUDGET // (max(n_b, 1) * 8), 1)))
     nse = ca.nse
-    n_chunks = -(-nse // chunk_rows)
 
-    # exact fan-out (= partial-product count): upper bound on output nnz.
-    # Summed in int32-safe blocks (jnp.int64 silently truncates without x64);
-    # the final int64 reduction happens on the host over a tiny readback.
     a_valid = ca.rows.astype(jnp.int32) < ca.shape[0]
     _blk = 4096
 
     @jax.jit
-    def _fanout_blocks(c, nz, v):
-        per = jnp.where(v, nz.at[c.astype(jnp.int32)].get(
-            mode="fill", fill_value=0).astype(jnp.int32), 0)
-        padded = jnp.pad(per, (0, -per.shape[0] % _blk))
-        return jnp.sum(padded.reshape(-1, _blk), axis=1)
+    def _prep(rows, cols, vals, valid, indptr):
+        counts = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
+        cnt_at = jnp.where(valid, counts.at[cols.astype(jnp.int32)].get(
+            mode="fill", fill_value=0), 0)
+        # exact fan-out, summed in int32-safe blocks (jnp.int64 silently
+        # truncates without x64; final 64-bit reduction is a tiny host sum)
+        padded = jnp.pad(cnt_at, (0, -cnt_at.shape[0] % _blk))
+        fan_blocks = jnp.sum(padded.reshape(-1, _blk), axis=1)
+        # 98th-percentile reached-degree → short/heavy split threshold
+        k_t = jnp.percentile(cnt_at.astype(jnp.float32), 98.0)
+        heavy = cnt_at > jnp.maximum(k_t, 1)
+        order = jnp.argsort(heavy, stable=True)   # short stream first
+        rows_s = jnp.where(valid, rows.astype(jnp.int32), n_rows)[order]
+        cols_s = jnp.where(valid, cols.astype(jnp.int32), 0)[order]
+        vals_s = jnp.where(valid, vals, 0).astype(adt)[order]
+        n_heavy = jnp.sum(heavy.astype(jnp.int32))
+        k_short = jnp.max(jnp.where(heavy, 0, cnt_at))
+        return fan_blocks, rows_s, cols_s, vals_s, n_heavy, k_short
 
-    fanout = int(np.asarray(_fanout_blocks(ca.cols, bell.row_nnz, a_valid),
-                            np.int64).sum())
+    fan_blocks, a_rows, a_cols, a_vals, n_heavy, k_short = _prep(
+        ca.rows, ca.cols, ca.vals, a_valid, bcsr.indptr)
+    fanout = int(np.asarray(fan_blocks, np.int64).sum())
+    n_heavy = int(n_heavy)                 # O(1) readbacks
+    k_short = max(int(k_short), 1)
+    n_short = nse - n_heavy
 
     if out_capacity is not None:
         cap = int(out_capacity)
@@ -180,40 +226,82 @@ def _spgemm_device_chunked(ca, bell, shape, kb, adt, max_fanout_slots,
         n_a = int(jnp.sum(a_valid))
         cap = int(min(fanout, max(4 * n_a, 1 << 16)))
     cap = max(min(cap, max(fanout, 1)), 1)
+    # quantize to a power of two: retries and repeat runs then reuse the
+    # compiled accumulate program (compile time dominates at this scale)
+    cap = min(1 << (cap - 1).bit_length(), max(fanout, 1))
 
-    # pad A's entry stream to the chunk grid (pad rows = n_rows ⇒ masked)
-    pad = n_chunks * chunk_rows - nse
-    idt = jnp.int32
-    a_rows = jnp.concatenate([
-        jnp.where(a_valid, ca.rows.astype(idt), n_rows),
-        jnp.full((pad,), n_rows, idt)])
-    a_cols = jnp.concatenate([
-        jnp.where(a_valid, ca.cols.astype(idt), 0), jnp.zeros((pad,), idt)])
-    a_vals = jnp.concatenate([
-        jnp.where(a_valid, ca.vals, 0).astype(adt), jnp.zeros((pad,), adt)])
+    chunk_short = max(max_fanout_slots // k_short, 1)
+    chunk_heavy = max(max_fanout_slots // max(kc, 1), 1)
+    n_windows = -(-kb_full // kc)
 
     while True:
-        r, c, v, n_max = _spgemm_accumulate(
-            a_rows, a_cols, a_vals, bell.cols, bell.vals, bell.row_nnz,
-            shape=shape, cap=cap, chunk_rows=chunk_rows,
-            n_chunks=n_chunks, kb=kb, adt=jnp.dtype(adt))
-        n_max = int(n_max)          # O(1) readback: overflow check
+        acc = (jnp.full((cap,), n_rows, jnp.int32),
+               jnp.zeros((cap,), jnp.int32),
+               jnp.zeros((cap,), jnp.dtype(adt)))
+        n_max = 0
+        passes = []
+        if n_short:
+            # short stream: every reached B-row fits k_short slots → one pass
+            sr, sc, sv, n_chunks = _pad_stream(
+                a_rows, a_cols, a_vals, 0, n_short, chunk_short, n_rows, adt)
+            passes.append((sr, sc, sv, n_chunks, chunk_short, k_short, (0,)))
+        if n_heavy:
+            hr, hc, hv, n_chunks = _pad_stream(
+                a_rows, a_cols, a_vals, n_short, n_heavy, chunk_heavy,
+                n_rows, adt)
+            passes.append((hr, hc, hv, n_chunks, chunk_heavy, kc,
+                           tuple(range(n_windows))))
+        for (pr, pc, pv, n_chunks, chunk_rows, kw, windows) in passes:
+            for w in windows:
+                bc, bv, bn = _ell_window(
+                    bcsr.indptr, bcsr.indices, bcsr.data,
+                    jnp.asarray(w * kw, jnp.int32), kc=kw)
+                r, c, v, nm = _spgemm_accumulate(
+                    pr, pc, pv, bc, bv, bn, *acc,
+                    shape=shape, cap=cap, chunk_rows=chunk_rows,
+                    n_chunks=n_chunks, kb=kw, adt=jnp.dtype(adt))
+                n_max = max(n_max, int(nm))   # O(1) overflow check
+                if n_max > cap:
+                    break
+                acc = (r, c, v)
+            if n_max > cap:
+                break
         if n_max <= cap:
             break
         if cap >= fanout:           # cannot overflow beyond the fan-out
             break
         cap = int(min(max(2 * cap, n_max), fanout))
 
+    r, c, v = acc
     return COO(rows=r, cols=c, vals=v, shape=shape, canonical=True)
+
+
+@partial(jax.jit, static_argnames=("kc",))
+def _ell_window(indptr, indices, data, s, *, kc):
+    """ELL view of slots [s, s+kc) of a CSR matrix, built device-side:
+    (n, kc) cols/vals plus the per-row count clipped into the window."""
+    starts = indptr[:-1].astype(jnp.int32)
+    counts = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
+    slot = s + jnp.arange(kc, dtype=jnp.int32)[None, :]
+    src = starts[:, None] + slot
+    valid = slot < counts[:, None]
+    cols = jnp.where(valid,
+                     indices.at[src].get(mode="fill", fill_value=0)
+                     .astype(jnp.int32), 0)
+    vals = jnp.where(valid, data.at[src].get(mode="fill", fill_value=0), 0)
+    row_nnz = jnp.clip(counts - s, 0, kc)
+    return cols, vals, row_nnz
 
 
 @partial(jax.jit, static_argnames=("shape", "cap", "chunk_rows", "n_chunks",
                                    "kb", "adt"))
-def _spgemm_accumulate(a_rows, a_cols, a_vals, b_cols, b_vals, b_nnz, *,
+def _spgemm_accumulate(a_rows, a_cols, a_vals, b_cols, b_vals, b_nnz,
+                       acc_r, acc_c, acc_v, *,
                        shape, cap, chunk_rows, n_chunks, kb, adt):
-    """fori_loop over A-entry chunks: expand → canonicalize → merge into the
-    bounded accumulator.  Returns (rows, cols, vals, max_unique) where
-    max_unique > cap signals overflow (entries were dropped — retry)."""
+    """fori_loop over A-entry chunks: expand against the given B-slot window
+    → canonicalize → merge into the bounded accumulator (carried across
+    windows).  Returns (rows, cols, vals, max_unique) where max_unique > cap
+    signals overflow (entries were dropped — retry with larger cap)."""
     n_rows, n_cols = shape
     slot = jnp.arange(kb, dtype=jnp.int32)[None, :]
 
@@ -230,7 +318,7 @@ def _spgemm_accumulate(a_rows, a_cols, a_vals, b_cols, b_vals, b_nnz, *,
         rows = jnp.where(sv, ar[:, None], n_rows).reshape(-1)
         cols = jnp.where(sv, bc.astype(jnp.int32), 0).reshape(-1)
         vals = jnp.where(sv, av[:, None] * bv.astype(adt), 0).reshape(-1)
-        r, c, v, _ = sort_coo(rows, cols, vals, shape)
+        r, c, v = sort_coo(rows, cols, vals, shape)
         return dedup_sorted_coo(r, c, v, shape)[:3]
 
     def merge(acc, chk):
@@ -240,7 +328,7 @@ def _spgemm_accumulate(a_rows, a_cols, a_vals, b_cols, b_vals, b_nnz, *,
         mr = jnp.concatenate([ar, cr])
         mc = jnp.concatenate([ac, cc])
         mv = jnp.concatenate([av, cv])
-        mr, mc, mv, _ = sort_coo(mr, mc, mv, shape)
+        mr, mc, mv = sort_coo(mr, mc, mv, shape)
         r, c, v, nu = dedup_sorted_coo(mr, mc, mv, shape)
         return (r[:cap], c[:cap], v[:cap]), nu
 
@@ -250,11 +338,9 @@ def _spgemm_accumulate(a_rows, a_cols, a_vals, b_cols, b_vals, b_nnz, *,
         (ar, ac, av), nu = merge((ar, ac, av), (cr, cc, cv))
         return (ar, ac, av), jnp.maximum(n_max, nu)
 
-    acc0 = (jnp.full((cap,), n_rows, jnp.int32),
-            jnp.zeros((cap,), jnp.int32),
-            jnp.zeros((cap,), adt))
-    (r, c, v), n_max = jax.lax.fori_loop(
-        0, n_chunks, body, (acc0, jnp.zeros((), jnp.int32)))
+    ((r, c, v), n_max) = jax.lax.fori_loop(
+        0, n_chunks, body,
+        ((acc_r, acc_c, acc_v.astype(adt)), jnp.zeros((), jnp.int32)))
     return r, c, v, n_max
 
 
@@ -275,7 +361,7 @@ def _spgemm_oneshot(ca, bell, shape, kb, adt):
         slot_valid, ca.vals.astype(adt)[:, None] * b_vals.astype(adt), 0
     ).reshape(-1)
 
-    r, c, v, _ = sort_coo(rows, cols, vals, shape)
+    r, c, v = sort_coo(rows, cols, vals, shape)
     r, c, v, _ = dedup_sorted_coo(r, c, v, shape)
     idt = ca.index_dtype
     return COO(rows=r.astype(compute_index_dtype(idt)),

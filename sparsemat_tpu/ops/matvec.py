@@ -59,6 +59,42 @@ def _stream_spmm(rows, cols, vals, n_rows, B):
     return y.at[rows.astype(jnp.int32)].add(prod, mode="drop")
 
 
+#: cap on the materialized (nnz, tile) gather of the stream SpMM — the
+#: one-shot path would need nnz*m*itemsize bytes, which for pwtk-scale
+#: operands (10M nnz × 128 cols) is >5 GB; tiles bound the working set.
+_SPMM_GATHER_BUDGET = 1 << 29  # 512 MB
+
+
+def _stream_spmm_tiled(rows, cols, vals, n_rows, B):
+    """Column-tiled stream SpMM: one jitted fori_loop over B-column tiles,
+    each tile a (nnz, mt) gather + segment scatter-add.  Peak temp memory
+    is nnz*mt*itemsize instead of nnz*m*itemsize."""
+    adt = accum_dtype(jnp.result_type(vals.dtype, B.dtype))
+    m = B.shape[1]
+    nnz = vals.shape[0]
+    mt = max(_SPMM_GATHER_BUDGET // (max(nnz, 1) * jnp.dtype(adt).itemsize), 1)
+    mt = min(mt, m)
+    n_tiles = -(-m // mt)
+    if n_tiles <= 1:
+        return _stream_spmm(rows, cols, vals, n_rows, B)
+    Bp = jnp.pad(B, ((0, 0), (0, n_tiles * mt - m)))
+    ri = rows.astype(jnp.int32)
+    ci = cols.astype(jnp.int32)
+    va = vals.astype(adt)
+
+    def tile(t, Y):
+        Bt = jax.lax.dynamic_slice_in_dim(Bp, t * mt, mt, axis=1)
+        Bg = Bt.at[ci].get(mode="fill", fill_value=0)
+        prod = va[:, None] * Bg.astype(adt)
+        yt = jnp.zeros((n_rows, mt), adt)
+        yt = yt.at[ri].add(prod, mode="drop")
+        return jax.lax.dynamic_update_slice_in_dim(Y, yt, t * mt, axis=1)
+
+    Y = jax.lax.fori_loop(0, n_tiles,  tile,
+                          jnp.zeros((n_rows, n_tiles * mt), adt))
+    return Y[:, :m]
+
+
 # --- ELL path ----------------------------------------------------------------
 
 def _ell_spmv(ell: ELL, x):
@@ -162,19 +198,36 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
     if isinstance(mat, DIA) or method == "dia":
         dia = mat if isinstance(mat, DIA) else mat.to_dia()
         return dia_spmm(dia, B)
+    from ..formats.slab import SlabELL
+
+    if isinstance(mat, SlabELL) or method == "slab":
+        sl = mat if isinstance(mat, SlabELL) else mat.to_slab()
+        vmem_need = sl.x_bytes() + 4 * sl.c_total * sl.row_block * 8
+        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
+            from ..kernels.spmv import slab_spmv_pallas
+
+            # one pallas column sweep per RHS column (vmap → extra leading
+            # grid axis); the matrix tiles stay VMEM-resident per column
+            return jax.vmap(lambda col: slab_spmv_pallas(sl, col),
+                            in_axes=1, out_axes=1)(B)
+        return spmm(sl.to_csr(), B, method=None)
     if isinstance(mat, ELL) or method == "ell":
         ell = mat if isinstance(mat, ELL) else mat.to_ell()
         return _ell_spmm(ell, B)
     if isinstance(mat, CSR):
-        # prefer the regular ELL gather when padding waste is acceptable
-        # (host-side structure check — unavailable under jit tracing)
+        # prefer the regular ELL gather when padding waste is acceptable AND
+        # the (n_rows, K, m) gather fits the budget (host-side structure
+        # check — unavailable under jit tracing)
         if not isinstance(mat.indptr, jax.core.Tracer):
             nnz = int(mat.host("indptr")[-1])
-            if nnz and mat.max_row_nnz() * mat.n_rows <= 4 * nnz:
+            ell_slots = mat.max_row_nnz() * mat.n_rows
+            if (nnz and ell_slots <= 4 * nnz
+                    and ell_slots * B.shape[1] * 4 <= _SPMM_GATHER_BUDGET):
                 return _ell_spmm(mat.to_ell(), B)
-        return _stream_spmm(mat.row_ids, mat.indices, mat.data, mat.n_rows, B)
+        return _stream_spmm_tiled(mat.row_ids, mat.indices, mat.data,
+                                  mat.n_rows, B)
     if isinstance(mat, COO):
-        return _stream_spmm(mat.rows, mat.cols, mat.vals, mat.n_rows, B)
+        return _stream_spmm_tiled(mat.rows, mat.cols, mat.vals, mat.n_rows, B)
     # other formats (WELL, SlabELL, ...): canonicalize through CSR so the
     # ELL-vs-stream choice above applies
     return spmm(mat.to_csr(), B, method=method)

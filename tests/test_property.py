@@ -161,3 +161,37 @@ def test_spgemm_device_chunked_vs_scipy():
     # sanity: the one-shot path agrees too
     out2 = smt.spgemm(a, b)
     np.testing.assert_allclose(np.asarray(out2.todense()), ref, atol=1e-12)
+
+
+def test_spgemm_slot_windowed_chunked(monkeypatch):
+    """Zipf-tailed B (one near-dense row) must not materialize a full
+    (n, K_max) ELL — the chunked path windows B's slots and carries the
+    device accumulator across windows."""
+    from sparsemat_tpu.ops import algebra
+
+    rng = np.random.default_rng(7)
+    n = 300
+    m = sp.random(n, n, density=0.01, format="lil", random_state=1,
+                  dtype=np.float64)
+    m[5, :200] = rng.standard_normal(200)     # near-dense row → K_max big
+    m = m.tocsr()
+    m.sum_duplicates()
+    A = smt.CSR.from_scipy(m)
+    # force both the fan-out chunking and the slot windowing
+    monkeypatch.setattr(algebra, "_SPGEMM_ELL_BUDGET", 64 * 8)
+    C = smt.spgemm(A, A, max_fanout_slots=1 << 10)
+    ref = (m @ m).toarray()
+    np.testing.assert_allclose(np.asarray(C.todense()), ref, atol=1e-9)
+
+
+def test_spgemm_chunked_overflow_retry(monkeypatch):
+    from sparsemat_tpu.ops import algebra
+
+    m = sp.random(120, 120, density=0.05, format="csr", random_state=3,
+                  dtype=np.float64)
+    A = smt.CSR.from_scipy(m)
+    monkeypatch.setattr(algebra, "_SPGEMM_ELL_BUDGET", 64 * 8)
+    # tiny initial capacity: force at least one overflow → retry doubling
+    C = smt.spgemm(A, A, max_fanout_slots=1 << 9, out_capacity=16)
+    np.testing.assert_allclose(np.asarray(C.todense()), (m @ m).toarray(),
+                               atol=1e-9)

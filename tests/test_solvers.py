@@ -207,3 +207,30 @@ def test_jacobi_poisson2d_f64():
     x, info = smt.solvers.jacobi(A, b, tol=1e-8, maxiter=50_000)
     assert bool(info.converged)
     assert np.linalg.norm(b - lap @ np.asarray(x)) < 1e-6
+
+
+def test_refine_mixed_precision_reaches_f64_residual():
+    """Iterative refinement (f64 outer / f32 inner) reaches residuals far
+    below f32 stagnation — the TPU route to BASELINE config 3."""
+    lap = poisson2d(48)                      # 2304 rows, cond ~ 1e3
+    A = smt.CSR.from_scipy(lap)              # f64 storage
+    b = jnp.ones((lap.shape[0],), jnp.float64)
+    x, info = solvers.refine(A, b, tol=1e-10, inner_maxiter=3000)
+    assert bool(info.converged), float(info.residual_norm)
+    assert float(info.residual_norm) <= 1e-10
+    res = np.asarray(lap @ np.asarray(x) - np.asarray(b))
+    assert np.linalg.norm(res) <= 2e-10
+    # inner work happened in f32 (iterations counted), outers recorded
+    assert int(info.iterations) > 0
+    assert info.residual_history.shape[0] >= 2
+
+
+def test_refine_low_precision_operator_is_f32():
+    lap = poisson2d(12)
+    A = smt.CSR.from_scipy(lap)
+    A32 = A.astype(np.float32)
+    assert A32.data.dtype == jnp.float32
+    assert A32.indices.dtype == A.indices.dtype  # indices untouched
+    b = jnp.ones((lap.shape[0],), jnp.float64)
+    x, info = solvers.refine(A, b, tol=1e-9, A_low=A32)
+    assert bool(info.converged)
