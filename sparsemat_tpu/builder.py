@@ -190,6 +190,10 @@ class SparseBuilder:
         self._fixed_shape = tuple(shape) if shape is not None else None
         self._column_info_fresh = False
         self._iter_cache = None
+        #: row → entry count at the time sort_row ran (entries inserted later
+        #: appear after the sorted prefix, in insertion order — exactly the
+        #: reference's chain-rewrite semantics, src/sparsemat_indexlist.rs:102-109)
+        self._row_sorted_upto: dict[int, int] = {}
 
     # ≈ with_capacity (src/sparsematrix.rs:84)
     @classmethod
@@ -259,16 +263,34 @@ class SparseBuilder:
         self._store.set_batch(rows, cols, vals)
 
     def scale(self, s) -> "SparseBuilder":
+        # values change → the cached insertion view is stale (structure and
+        # column-info freshness are unaffected: scale touches no coordinates)
+        self._iter_cache = None
         self._store.scale(s)
         return self
 
+    # -- sorting (≈ Sortable, src/sparsematrix.rs:355-366) --------------------
+    def sort_row(self, i: int) -> None:
+        """Make row i iterate column-sorted (≈ Sortable::sort_row,
+        src/sparsemat_indexlist.rs:102-109 — there the chain positions are
+        rewritten so chain order becomes sorted order; entries inserted
+        *after* the sort append behind the sorted prefix, which this
+        bookkeeping reproduces).  Freezes already canonicalize, so this only
+        affects builder iteration order."""
+        self._row_sorted_upto[int(i)] = sum(1 for _ in self.iter_row(int(i)))
+
+    def sort(self) -> None:
+        """Sort every row (≈ Sortable::sort, src/sparsematrix.rs:362-366)."""
+        for i in range(self.n_rows):
+            self.sort_row(i)
+
     # -- iteration (reference order semantics) -------------------------------
     def __iter__(self) -> Iterator[Tuple[int, int, float]]:
-        """Row-major, insertion order within each row (src/lib.rs:67-71)."""
-        indptr, cols, vals = self._store.export_csr()
-        for i in range(len(indptr) - 1):
-            for p in range(indptr[i], indptr[i + 1]):
-                yield i, int(cols[p]), self.dtype.type(vals[p])
+        """Row-major, insertion order within each row (src/lib.rs:67-71),
+        respecting per-row ``sort_row`` rewrites."""
+        for i in range(self.n_rows):
+            for j, v in self.iter_row(i):
+                yield i, j, v
 
     def _insertion_view(self):
         """Cached insertion-order export plus per-row/per-column position
@@ -296,7 +318,12 @@ class SparseBuilder:
         rows, cols, vals, ro, rptr, _, _ = self._insertion_view()
         if i < 0 or i + 1 >= len(rptr):
             return
-        for p in ro[rptr[i]:rptr[i + 1]]:
+        pos = ro[rptr[i]:rptr[i + 1]]
+        k = self._row_sorted_upto.get(i, 0)
+        if k:  # sorted prefix (entries present when sort_row ran), then tail
+            head = sorted(pos[:k], key=lambda p: cols[p])
+            pos = list(head) + list(pos[k:])
+        for p in pos:
             yield int(cols[p]), self.dtype.type(vals[p])
 
     def assemble_column_info(self) -> None:

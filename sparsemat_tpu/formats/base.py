@@ -249,6 +249,19 @@ class SparseFormat:
         v = jnp.where(valid, coo.vals, 0)
         return out.at[r, coo.cols.astype(jnp.int32)].add(v, mode="drop")
 
+    def __iter__(self):
+        """Whole-matrix (row, col, val) iterator, row-major, skipping empty
+        rows (≈ the trait's ``Iter``, src/sparsematrix.rs:28-59, whose
+        ``next`` advances past rows with no entries).  Canonical
+        column-sorted order within each row.  Host-side convenience."""
+        csr = self.to_csr()
+        indptr = csr.host("indptr")
+        indices = csr.host("indices")
+        data = csr.host("data")
+        for i in range(csr.n_rows):
+            for p in range(int(indptr[i]), int(indptr[i + 1])):
+                yield i, int(indices[p]), data[p]
+
     def get(self, i: int, j: int):
         """Point lookup A[i, j], 0 if absent (≈ SparseMatrix::get,
         src/sparsematrix.rs:106-110).  Host-side convenience — O(nse)."""

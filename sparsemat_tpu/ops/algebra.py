@@ -144,7 +144,8 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
         bcsr = b.to_csr()
         kb = (n_cols_per_row_b if n_cols_per_row_b is not None
               else max(bcsr.max_row_nnz(), 1))
-        ell_bytes = bcsr.shape[0] * kb * 8
+        slot_bytes = 4 + jnp.dtype(adt).itemsize  # int32 col + accum value
+        ell_bytes = bcsr.shape[0] * kb * slot_bytes
         if ca.nse * kb > max_fanout_slots or ell_bytes > _SPGEMM_ELL_BUDGET:
             return _same_format_as(a, _spgemm_device_chunked(
                 ca, bcsr, shape, kb, adt, max_fanout_slots, out_capacity))
@@ -187,7 +188,9 @@ def _spgemm_device_chunked(ca, bcsr, shape, kb_full, adt, max_fanout_slots,
     n_rows, n_cols = shape
     n_b = bcsr.shape[0]
     # B-slot window width bounded by the ELL memory budget
-    kc = int(min(kb_full, max(_SPGEMM_ELL_BUDGET // (max(n_b, 1) * 8), 1)))
+    slot_bytes = 4 + jnp.dtype(adt).itemsize
+    kc = int(min(kb_full,
+                 max(_SPGEMM_ELL_BUDGET // (max(n_b, 1) * slot_bytes), 1)))
     nse = ca.nse
 
     a_valid = ca.rows.astype(jnp.int32) < ca.shape[0]

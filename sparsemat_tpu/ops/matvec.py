@@ -181,6 +181,9 @@ def spmv_chain(mat, x, k: int) -> jax.Array:
         from ..kernels.dia import dia_spmv_chain_pallas
 
         return dia_spmv_chain_pallas(mat, x, k)
+    # spmv returns the accumulation dtype (f32 for bf16/f16 inputs) — carry
+    # must be dtype-stable across iterations, so promote x up front
+    x = x.astype(accum_dtype(jnp.result_type(mat.dtype, x.dtype)))
     return jax.lax.fori_loop(0, k, lambda i, v: spmv(mat, v), x)
 
 

@@ -153,3 +153,47 @@ def test_partitioned_routing_last_block():
 
 def test_builder_repr_backend(builder):
     assert "backend=" in repr(builder)
+
+
+def test_scale_invalidates_iter_cache(builder):
+    # regression (round-2 advisor, high): scale() after a cached iteration
+    # must not serve stale pre-scale values
+    builder.set(0, 1, 2.0)
+    assert list(builder.iter_row(0)) == [(1, pytest.approx(2.0))]
+    builder.scale(10.0)
+    assert builder.get(0, 1) == pytest.approx(20.0)
+    assert list(builder.iter_row(0)) == [(1, pytest.approx(20.0))]
+    assert [v for _, _, v in builder] == [pytest.approx(20.0)]
+
+
+def test_sort_row_and_sort(builder):
+    # ≈ Sortable::sort_row (src/sparsemat_indexlist.rs:102-109): after
+    # sorting, iteration order within the row is column-ascending; entries
+    # inserted afterwards append behind the sorted prefix (chain semantics)
+    builder.set(0, 5, 5.0)
+    builder.set(0, 1, 1.0)
+    builder.set(0, 3, 3.0)
+    assert [c for c, _ in builder.iter_row(0)] == [5, 1, 3]
+    builder.sort_row(0)
+    assert [c for c, _ in builder.iter_row(0)] == [1, 3, 5]
+    builder.set(0, 2, 2.0)          # post-sort insert lands at the tail
+    assert [c for c, _ in builder.iter_row(0)] == [1, 3, 5, 2]
+    builder.set(1, 9, 9.0)
+    builder.set(1, 0, 0.5)
+    builder.sort()                  # whole-matrix sort (src/sparsematrix.rs:362-366)
+    assert [c for c, _ in builder.iter_row(0)] == [1, 2, 3, 5]
+    assert [c for c, _ in builder.iter_row(1)] == [0, 9]
+    assert [(i, j) for i, j, _ in builder] == [
+        (0, 1), (0, 2), (0, 3), (0, 5), (1, 0), (1, 9)]
+
+
+def test_frozen_format_whole_matrix_iter():
+    # ≈ the trait's whole-matrix Iter skipping empty rows
+    # (src/sparsematrix.rs:28-59); canonical column-sorted order here
+    b = smt.SparseBuilder()
+    b.set(0, 2, 1.0)
+    b.set(3, 1, 2.0)   # rows 1, 2 are empty and must be skipped
+    b.set(3, 0, 3.0)
+    for frozen in (b.to_csr(), b.to_coo(), b.to_csr().to_ell()):
+        entries = [(i, j, float(v)) for i, j, v in frozen]
+        assert entries == [(0, 2, 1.0), (3, 0, 3.0), (3, 1, 2.0)]

@@ -49,3 +49,16 @@ def test_chain_requires_square():
     rect = smt.CSR.from_scipy(sp.csr_matrix(np.ones((2, 3), np.float32)))
     with pytest.raises(ValueError):
         smt.spmv_chain(rect, np.zeros(3, np.float32), 2)
+
+
+def test_chain_low_precision_carry():
+    """bf16 operands: the fori_loop carry must be dtype-stable (spmv returns
+    the f32 accumulation dtype — regression for the round-2 advisor note)."""
+    ms = _banded(64, [-1, 0, 1], seed=5)
+    csr = smt.CSR.from_scipy(ms).astype(jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(64), jnp.bfloat16)
+    y = np.asarray(smt.spmv_chain(csr, x, 3), np.float32)
+    ref = np.asarray(x, np.float32)
+    for _ in range(3):
+        ref = ms.astype(np.float32) @ ref
+    np.testing.assert_allclose(y, ref, rtol=0.15, atol=0.1)
