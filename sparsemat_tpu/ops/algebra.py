@@ -116,16 +116,14 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
     to match the reference's nonzero-only storage (src/sparsematrix.rs:204-206).
 
     Large products (fan-out above ``max_fanout_slots``) run the DEVICE-SIDE
-    chunked path: one jitted ``fori_loop`` streams A's entries in chunks,
-    expands each against B's rows, canonicalizes the chunk, and merges it
-    into a capacity-bounded device accumulator (merge-by-rank of two sorted
-    streams + segment-sum dedup).  Host involvement is O(1) scalars — one
-    fan-out estimate up front and one overflow flag per attempt; if the
-    accumulator overflows, the capacity doubles and the program re-runs
-    (the capacity-bounded buffers + overflow-retry strategy of SURVEY §7a).
-    ``out_capacity`` pre-sizes the accumulator (skips the retry loop when
-    the output nnz is known).  The chunked path requires concrete (non-
-    traced) operands; under jit the one-shot expansion is used regardless.
+    partitioned ESC (expand–sort–compress) path, ``_spgemm_device_esc``:
+    exact per-candidate offsets, row-aligned fixed-capacity parts, one
+    sort + segment-sum dedup per part, results concatenated (disjoint row
+    ranges — no cross-part merging).  Host involvement is O(small) scalar
+    readbacks (the fan-out plan and one unique-count per part).  The ESC
+    path requires concrete (non-traced) operands; under jit the one-shot
+    expansion is used regardless.  ``out_capacity`` is accepted for
+    backwards compatibility (the ESC path sizes itself exactly).
 
     Dimension guard: standard inner-dimension match (A.n_cols == B.n_rows).
     [The reference instead checks n_rows==rhs.n_cols && n_cols==rhs.n_rows
@@ -147,204 +145,231 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
         slot_bytes = 4 + jnp.dtype(adt).itemsize  # int32 col + accum value
         ell_bytes = bcsr.shape[0] * kb * slot_bytes
         if ca.nse * kb > max_fanout_slots or ell_bytes > _SPGEMM_ELL_BUDGET:
-            return _same_format_as(a, _spgemm_device_chunked(
-                ca, bcsr, shape, kb, adt, max_fanout_slots, out_capacity))
+            return _same_format_as(a, _spgemm_device_esc(ca, bcsr, shape, adt))
 
     bell = b.to_ell(n_cols_per_row=n_cols_per_row_b)
     kb = bell.n_cols_per_row
     return _same_format_as(a, _spgemm_oneshot(ca, bell, shape, kb, adt))
 
 
-def _pad_stream(rows, cols, vals, start, count, chunk_rows, n_rows, adt):
-    """Slice [start, start+count) of an entry stream, tail-padded to a whole
-    number of ``chunk_rows`` chunks (pad rows = n_rows ⇒ masked)."""
-    n_chunks = max(-(-count // chunk_rows), 1)
-    pad = n_chunks * chunk_rows - count
-    sl = slice(start, start + count)
-    return (jnp.concatenate([rows[sl], jnp.full((pad,), n_rows, jnp.int32)]),
-            jnp.concatenate([cols[sl], jnp.zeros((pad,), jnp.int32)]),
-            jnp.concatenate([vals[sl], jnp.zeros((pad,), adt)]),
-            n_chunks)
+#: candidate slots per ESC part (each part = one sort + dedup dispatch)
+_SPGEMM_PART_SLOTS = 1 << 25
+#: candidate slots per expansion dispatch (bounds temporary gather size)
+_SPGEMM_CHUNK_SLOTS = 1 << 24
 
 
-def _spgemm_device_chunked(ca, bcsr, shape, kb_full, adt, max_fanout_slots,
-                           out_capacity=None):
-    """Device-resident chunked SpGEMM (see spgemm docstring).
+def _spgemm_device_esc(ca, bcsr, shape, adt, *,
+                       part_slots: int = _SPGEMM_PART_SLOTS):
+    """Partitioned ESC (expand–sort–compress) SpGEMM — the round-3 rebuild
+    of the device path (replaces the per-chunk accumulator re-sort that ran
+    3-4 orders of magnitude below useful throughput).
 
-    Replaces the round-1 host-merge path (per-chunk numpy readback — minutes
-    over a ~MB/s device→host link) with an on-device accumulator; the only
-    host readbacks are O(1) scalars (fan-out estimate, stream-split sizes,
-    one overflow flag per pass).
+    Plan (one jitted program + small readbacks):
+      * exact per-A-entry fan-out ``cnt`` (the degree of its B row) and
+        exclusive-cumsum offsets — every candidate product has a unique,
+        known position in the virtual fan-out stream of length F;
+      * per-entry *level* = ceil(log2(cnt)): entries are processed grouped
+        by level so each is padded at most 2×, killing both failure modes
+        of the old dual-stream split (per-window re-expansion of heavy
+        entries, and global padding by the max degree);
+      * row-aligned *parts*: the fan-out stream is cut at row boundaries
+        into parts of ≤ ``part_slots`` candidates.  Output rows of distinct
+        parts are disjoint, so per-part results concatenate with NO merge.
 
-    Power-law/zipf operands (scircuit-class: a few near-dense rows) are
-    handled by a DUAL-STREAM split: A's entries are partitioned by whether
-    their B-row fits ``k_t`` slots (a high percentile of the reached-row
-    degree).  The short stream expands in one (chunked) pass at k_t slots;
-    the heavy stream — typically a tiny fraction — loops B-slot windows of
-    width ``kc``.  A single (n, K_max) B-ELL rectangle is never
-    materialized (it would be gigabytes when K_max is near-dense)."""
-    import numpy as np
-
+    Per part: level-grouped expansion chunks gather B slots straight from
+    CSR (`indices[indptr[k] + slot]` — no materialized B-ELL rectangle) and
+    scatter candidates to their exact offsets in a fixed-size part buffer;
+    then ONE canonical sort + segment-sum dedup compacts the part.  All
+    dispatch shapes are quantized (fixed part size, fixed per-level chunk
+    shapes), so the whole run compiles O(levels) programs regardless of
+    matrix size.  Matches the output semantics of the reference's ``prod``
+    (src/sparsematrix.rs:186-210) with structural sums retained.
+    """
     n_rows, n_cols = shape
-    n_b = bcsr.shape[0]
-    # B-slot window width bounded by the ELL memory budget
-    slot_bytes = 4 + jnp.dtype(adt).itemsize
-    kc = int(min(kb_full,
-                 max(_SPGEMM_ELL_BUDGET // (max(n_b, 1) * slot_bytes), 1)))
     nse = ca.nse
-
-    a_valid = ca.rows.astype(jnp.int32) < ca.shape[0]
+    nnz_b = int(bcsr.indices.shape[0])
     _blk = 4096
 
     @jax.jit
-    def _prep(rows, cols, vals, valid, indptr):
-        counts = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
-        cnt_at = jnp.where(valid, counts.at[cols.astype(jnp.int32)].get(
+    def _plan(rows, cols, indptr, row_entry_ptr):
+        valid = rows.astype(jnp.int32) < n_rows
+        bcnt = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
+        cnt = jnp.where(valid, bcnt.at[cols.astype(jnp.int32)].get(
             mode="fill", fill_value=0), 0)
-        # exact fan-out, summed in int32-safe blocks (jnp.int64 silently
-        # truncates without x64; final 64-bit reduction is a tiny host sum)
-        padded = jnp.pad(cnt_at, (0, -cnt_at.shape[0] % _blk))
+        off = jnp.cumsum(cnt) - cnt                       # exclusive, int32
+        # ceil(log2(cnt)) for cnt>=1; empty fan-outs get the sentinel level
+        lvl = jnp.where(cnt >= 2,
+                        32 - jax.lax.clz(jnp.maximum(cnt, 2) - 1), 0)
+        lvl = jnp.where(cnt == 0, 31, lvl).astype(jnp.int32)
+        # fan-out summed in int32-safe blocks (int64 truncates without x64)
+        padded = jnp.pad(cnt, (0, -cnt.shape[0] % _blk))
         fan_blocks = jnp.sum(padded.reshape(-1, _blk), axis=1)
-        # 98th-percentile reached-degree → short/heavy split threshold
-        k_t = jnp.percentile(cnt_at.astype(jnp.float32), 98.0)
-        heavy = cnt_at > jnp.maximum(k_t, 1)
-        order = jnp.argsort(heavy, stable=True)   # short stream first
-        rows_s = jnp.where(valid, rows.astype(jnp.int32), n_rows)[order]
-        cols_s = jnp.where(valid, cols.astype(jnp.int32), 0)[order]
-        vals_s = jnp.where(valid, vals, 0).astype(adt)[order]
-        n_heavy = jnp.sum(heavy.astype(jnp.int32))
-        k_short = jnp.max(jnp.where(heavy, 0, cnt_at))
-        return fan_blocks, rows_s, cols_s, vals_s, n_heavy, k_short
+        # cumulative fan-out at each row boundary (for row-aligned parts)
+        row_fan = (off.at[jnp.minimum(row_entry_ptr, nse - 1)]
+                   .get(mode="clip"))
+        total = off[-1] + cnt[-1]
+        row_fan = jnp.where(row_entry_ptr >= nse, total, row_fan)
+        return cnt, off, lvl, fan_blocks, row_fan
 
-    fan_blocks, a_rows, a_cols, a_vals, n_heavy, k_short = _prep(
-        ca.rows, ca.cols, ca.vals, a_valid, bcsr.indptr)
+    idt = compute_index_dtype(ca.index_dtype)
+    if nse == 0:
+        return COO(rows=jnp.full((1,), n_rows, idt),
+                   cols=jnp.zeros((1,), idt),
+                   vals=jnp.zeros((1,), adt), shape=shape, canonical=True)
+
+    # entry index of each row start (ca is canonical → rows ascending)
+    from ..formats.base import rows_to_indptr
+
+    row_entry_ptr = rows_to_indptr(ca.rows, n_rows, jnp.int32)
+    cnt, off, lvl, fan_blocks, row_fan = _plan(
+        ca.rows, ca.cols, bcsr.indptr, row_entry_ptr)
     fanout = int(np.asarray(fan_blocks, np.int64).sum())
-    n_heavy = int(n_heavy)                 # O(1) readbacks
-    k_short = max(int(k_short), 1)
-    n_short = nse - n_heavy
+    if fanout >= (1 << 31) - (1 << 26):
+        raise NotImplementedError(
+            f"spgemm fan-out {fanout:,} overflows int32 offsets — split the "
+            "left operand by rows and concatenate the products")
+    if fanout == 0:
+        return COO(rows=jnp.full((1,), n_rows, idt),
+                   cols=jnp.zeros((1,), idt),
+                   vals=jnp.zeros((1,), adt), shape=shape, canonical=True)
 
-    if out_capacity is not None:
-        cap = int(out_capacity)
+    # ---- part boundaries: greedy row-aligned cuts (device searchsorted,
+    # one scalar readback per part) — each part holds whole rows and at most
+    # ``part_slots`` candidates.  A part must hold its worst row whole, so
+    # grow part_slots if one row's fan-out exceeds it (row alignment is what
+    # lets per-part results concatenate with no merge).
+    max_row_fan = int(jnp.max(row_fan[1:] - row_fan[:-1]))
+    part_slots = max(part_slots, 1 << (max(max_row_fan, 1) - 1).bit_length())
+    part_slots = min(part_slots, 1 << (max(fanout, 1) - 1).bit_length())
+    part_row_bounds = [0]
+    part_off_bounds = [0]
+    while part_off_bounds[-1] < fanout:
+        nxt = int(jnp.searchsorted(
+            row_fan, jnp.asarray(part_off_bounds[-1] + part_slots, jnp.int32),
+            side="right")) - 1
+        nxt = max(nxt, part_row_bounds[-1] + 1)   # progress (≥1 row fits)
+        if part_off_bounds[-1] + part_slots >= fanout:
+            nxt = n_rows
+        part_row_bounds.append(min(nxt, n_rows))
+        part_off_bounds.append(
+            fanout if nxt >= n_rows else int(row_fan[nxt]))
+    part_row_bounds = np.asarray(part_row_bounds)
+    part_off_bounds = np.asarray(part_off_bounds)
+    part_entry_bounds = np.array(
+        row_entry_ptr.at[jnp.asarray(part_row_bounds)].get(mode="clip"))
+    part_entry_bounds[-1] = nse
+
+    # ---- level-grouped entry order (device) -------------------------------
+    # per (part, level) counts: key = part * 32 + lvl
+    n_parts = len(part_row_bounds) - 1
+    part_of_entry = jnp.searchsorted(
+        jnp.asarray(part_entry_bounds[1:-1], jnp.int32),
+        jnp.arange(nse, dtype=jnp.int32), side="right")
+    key = part_of_entry * 32 + lvl
+    order = jnp.argsort(key, stable=True)
+    pl_hist = np.asarray(jnp.zeros((n_parts * 32,), jnp.int32).at[key].add(1))
+    pl_starts = np.concatenate([[0], np.cumsum(pl_hist)])
+    # chunk sizes are quantized powers of two, bounded by the entry count —
+    # shapes repeat across parts/levels so compiles stay O(levels)
+    c_cap = min(_SPGEMM_CHUNK_SLOTS, 1 << (max(nse, 1) - 1).bit_length())
+    order_pad = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((c_cap,), nse, jnp.int32)])
+
+    a_rows = jnp.where(ca.rows.astype(jnp.int32) < n_rows,
+                       ca.rows.astype(jnp.int32), n_rows)
+    a_cols = ca.cols.astype(jnp.int32)
+    a_vals = ca.vals.astype(adt)
+    b_start = bcsr.indptr[:-1].astype(jnp.int32)
+
+    out_r, out_c, out_v = [], [], []
+    for p in range(n_parts):
+        base = int(part_off_bounds[p])
+        psize = int(part_off_bounds[p + 1]) - base
+        buf_r = jnp.full((part_slots,), n_rows, jnp.int32)
+        buf_c = jnp.zeros((part_slots,), jnp.int32)
+        buf_v = jnp.zeros((part_slots,), jnp.dtype(adt))
+        for l in range(31):                       # level 31 = empty fan-out
+            n_pl = int(pl_hist[p * 32 + l])
+            if n_pl == 0:
+                continue
+            kw = 1 << l
+            # chunk width: the dispatch slot budget, or a fixed mini-chunk
+            # for sparse levels — otherwise a 200-entry level at kw=4096
+            # would pay a full 2^24-slot dispatch of gather/scatter work.
+            # Exactly TWO shape choices per level keep the remote-compile
+            # count bounded (each cold compile costs ~25 s on this platform).
+            full = max(min(_SPGEMM_CHUNK_SLOTS // kw, c_cap), 1)
+            mini = max(min(4096, full), 1)
+            c_chunk = mini if n_pl <= mini else full
+            s0 = int(pl_starts[p * 32 + l])
+            for s in range(s0, s0 + n_pl, c_chunk):
+                buf_r, buf_c, buf_v = _esc_expand_chunk(
+                    buf_r, buf_c, buf_v, order_pad, jnp.asarray(s, jnp.int32),
+                    a_rows, a_cols, a_vals, cnt, off,
+                    jnp.asarray(base, jnp.int32),
+                    jnp.asarray(psize, jnp.int32),
+                    b_start, bcsr.indices, bcsr.data,
+                    kw=kw, c=c_chunk, part_slots=part_slots,
+                    n_rows=n_rows, adt=jnp.dtype(adt))
+        r, c, v, nu = _esc_finalize(buf_r, buf_c, buf_v, shape=shape,
+                                    adt=jnp.dtype(adt))
+        nu = int(nu)                               # one scalar readback/part
+        out_r.append(r[:max(nu, 1)])
+        out_c.append(c[:max(nu, 1)])
+        out_v.append(v[:max(nu, 1)])
+
+    if n_parts == 1:
+        rows, cols, vals = out_r[0], out_c[0], out_v[0]
     else:
-        n_a = int(jnp.sum(a_valid))
-        cap = int(min(fanout, max(4 * n_a, 1 << 16)))
-    cap = max(min(cap, max(fanout, 1)), 1)
-    # quantize to a power of two: retries and repeat runs then reuse the
-    # compiled accumulate program (compile time dominates at this scale)
-    cap = min(1 << (cap - 1).bit_length(), max(fanout, 1))
-
-    chunk_short = max(max_fanout_slots // k_short, 1)
-    chunk_heavy = max(max_fanout_slots // max(kc, 1), 1)
-    n_windows = -(-kb_full // kc)
-
-    while True:
-        acc = (jnp.full((cap,), n_rows, jnp.int32),
-               jnp.zeros((cap,), jnp.int32),
-               jnp.zeros((cap,), jnp.dtype(adt)))
-        n_max = 0
-        passes = []
-        if n_short:
-            # short stream: every reached B-row fits k_short slots → one pass
-            sr, sc, sv, n_chunks = _pad_stream(
-                a_rows, a_cols, a_vals, 0, n_short, chunk_short, n_rows, adt)
-            passes.append((sr, sc, sv, n_chunks, chunk_short, k_short, (0,)))
-        if n_heavy:
-            hr, hc, hv, n_chunks = _pad_stream(
-                a_rows, a_cols, a_vals, n_short, n_heavy, chunk_heavy,
-                n_rows, adt)
-            passes.append((hr, hc, hv, n_chunks, chunk_heavy, kc,
-                           tuple(range(n_windows))))
-        for (pr, pc, pv, n_chunks, chunk_rows, kw, windows) in passes:
-            for w in windows:
-                bc, bv, bn = _ell_window(
-                    bcsr.indptr, bcsr.indices, bcsr.data,
-                    jnp.asarray(w * kw, jnp.int32), kc=kw)
-                r, c, v, nm = _spgemm_accumulate(
-                    pr, pc, pv, bc, bv, bn, *acc,
-                    shape=shape, cap=cap, chunk_rows=chunk_rows,
-                    n_chunks=n_chunks, kb=kw, adt=jnp.dtype(adt))
-                n_max = max(n_max, int(nm))   # O(1) overflow check
-                if n_max > cap:
-                    break
-                acc = (r, c, v)
-            if n_max > cap:
-                break
-        if n_max <= cap:
-            break
-        if cap >= fanout:           # cannot overflow beyond the fan-out
-            break
-        cap = int(min(max(2 * cap, n_max), fanout))
-
-    r, c, v = acc
-    return COO(rows=r, cols=c, vals=v, shape=shape, canonical=True)
+        rows = jnp.concatenate(out_r)
+        cols = jnp.concatenate(out_c)
+        vals = jnp.concatenate(out_v)
+    idt = compute_index_dtype(ca.index_dtype)
+    return COO(rows=rows.astype(idt), cols=cols.astype(idt), vals=vals,
+               shape=shape, canonical=True)
 
 
-@partial(jax.jit, static_argnames=("kc",))
-def _ell_window(indptr, indices, data, s, *, kc):
-    """ELL view of slots [s, s+kc) of a CSR matrix, built device-side:
-    (n, kc) cols/vals plus the per-row count clipped into the window."""
-    starts = indptr[:-1].astype(jnp.int32)
-    counts = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
-    slot = s + jnp.arange(kc, dtype=jnp.int32)[None, :]
-    src = starts[:, None] + slot
-    valid = slot < counts[:, None]
-    cols = jnp.where(valid,
-                     indices.at[src].get(mode="fill", fill_value=0)
-                     .astype(jnp.int32), 0)
-    vals = jnp.where(valid, data.at[src].get(mode="fill", fill_value=0), 0)
-    row_nnz = jnp.clip(counts - s, 0, kc)
-    return cols, vals, row_nnz
+@partial(jax.jit, donate_argnums=(0, 1, 2),
+         static_argnames=("kw", "c", "part_slots", "n_rows", "adt"))
+def _esc_expand_chunk(buf_r, buf_c, buf_v, order_pad, s,
+                      a_rows, a_cols, a_vals, cnt, off, base, psize,
+                      b_start, b_indices, b_data, *,
+                      kw, c, part_slots, n_rows, adt):
+    """Expand one level-chunk of A entries (each with fan-out ≤ kw) against
+    B rows gathered straight from CSR, scattering the candidates to their
+    exact offsets in the donated part buffers.  A chunk may overrun into the
+    next (part, level) group's entries: same-part overruns re-write identical
+    values at identical positions (idempotent), other-part candidates are
+    masked out by the ``psize`` bound."""
+    e = jax.lax.dynamic_slice(order_pad, (s,), (c,))       # entry ids (pad=nse)
+    ar = a_rows.at[e].get(mode="fill", fill_value=n_rows)  # (c,)
+    ak = a_cols.at[e].get(mode="fill", fill_value=0)
+    av = a_vals.at[e].get(mode="fill", fill_value=0)
+    ce = cnt.at[e].get(mode="fill", fill_value=0)
+    oe = off.at[e].get(mode="fill", fill_value=0)
+    slot = jnp.arange(kw, dtype=jnp.int32)[None, :]        # (1, kw)
+    valid = (slot < ce[:, None]) & (ar[:, None] < n_rows)
+    src = b_start.at[ak].get(mode="fill", fill_value=0)[:, None] + slot
+    bc = b_indices.at[jnp.where(valid, src, 0)].get(mode="fill", fill_value=0)
+    bv = b_data.at[jnp.where(valid, src, 0)].get(mode="fill", fill_value=0)
+    rel = oe[:, None] - base + slot
+    valid = valid & (rel >= 0) & (rel < psize)
+    pos = jnp.where(valid, rel, part_slots).reshape(-1)
+    rows = jnp.broadcast_to(ar[:, None], (c, kw)).reshape(-1)
+    cols = bc.astype(jnp.int32).reshape(-1)
+    vals = (av[:, None] * bv.astype(adt)).reshape(-1)
+    # positions are exact and disjoint; out-of-part positions drop
+    buf_r = buf_r.at[pos].set(rows, mode="drop")
+    buf_c = buf_c.at[pos].set(cols, mode="drop")
+    buf_v = buf_v.at[pos].set(vals, mode="drop")
+    return buf_r, buf_c, buf_v
 
 
-@partial(jax.jit, static_argnames=("shape", "cap", "chunk_rows", "n_chunks",
-                                   "kb", "adt"))
-def _spgemm_accumulate(a_rows, a_cols, a_vals, b_cols, b_vals, b_nnz,
-                       acc_r, acc_c, acc_v, *,
-                       shape, cap, chunk_rows, n_chunks, kb, adt):
-    """fori_loop over A-entry chunks: expand against the given B-slot window
-    → canonicalize → merge into the bounded accumulator (carried across
-    windows).  Returns (rows, cols, vals, max_unique) where max_unique > cap
-    signals overflow (entries were dropped — retry with larger cap)."""
-    n_rows, n_cols = shape
-    slot = jnp.arange(kb, dtype=jnp.int32)[None, :]
-
-    def chunk_coo(i):
-        s0 = i * chunk_rows
-        ar = jax.lax.dynamic_slice_in_dim(a_rows, s0, chunk_rows)
-        ac = jax.lax.dynamic_slice_in_dim(a_cols, s0, chunk_rows)
-        av = jax.lax.dynamic_slice_in_dim(a_vals, s0, chunk_rows)
-        valid = ar < n_rows
-        bc = b_cols.at[ac].get(mode="fill", fill_value=0)        # (chunk, kb)
-        bv = b_vals.at[ac].get(mode="fill", fill_value=0)
-        bn = b_nnz.at[ac].get(mode="fill", fill_value=0)
-        sv = (slot < bn[:, None].astype(jnp.int32)) & valid[:, None]
-        rows = jnp.where(sv, ar[:, None], n_rows).reshape(-1)
-        cols = jnp.where(sv, bc.astype(jnp.int32), 0).reshape(-1)
-        vals = jnp.where(sv, av[:, None] * bv.astype(adt), 0).reshape(-1)
-        r, c, v = sort_coo(rows, cols, vals, shape)
-        return dedup_sorted_coo(r, c, v, shape)[:3]
-
-    def merge(acc, chk):
-        """Merge two canonical sorted COO streams (concat + one canonical
-        sort + dedup), compacted back to the accumulator capacity."""
-        (ar, ac, av), (cr, cc, cv) = acc, chk
-        mr = jnp.concatenate([ar, cr])
-        mc = jnp.concatenate([ac, cc])
-        mv = jnp.concatenate([av, cv])
-        mr, mc, mv = sort_coo(mr, mc, mv, shape)
-        r, c, v, nu = dedup_sorted_coo(mr, mc, mv, shape)
-        return (r[:cap], c[:cap], v[:cap]), nu
-
-    def body(i, carry):
-        (ar, ac, av), n_max = carry
-        cr, cc, cv = chunk_coo(i)
-        (ar, ac, av), nu = merge((ar, ac, av), (cr, cc, cv))
-        return (ar, ac, av), jnp.maximum(n_max, nu)
-
-    ((r, c, v), n_max) = jax.lax.fori_loop(
-        0, n_chunks, body,
-        ((acc_r, acc_c, acc_v.astype(adt)), jnp.zeros((), jnp.int32)))
-    return r, c, v, n_max
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("shape", "adt"))
+def _esc_finalize(buf_r, buf_c, buf_v, *, shape, adt):
+    """Canonical sort + segment-sum dedup of one expanded part."""
+    r, c, v = sort_coo(buf_r, buf_c, buf_v.astype(adt), shape)
+    return dedup_sorted_coo(r, c, v, shape)
 
 
 def _spgemm_oneshot(ca, bell, shape, kb, adt):

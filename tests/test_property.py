@@ -195,3 +195,49 @@ def test_spgemm_chunked_overflow_retry(monkeypatch):
     C = smt.spgemm(A, A, max_fanout_slots=1 << 9, out_capacity=16)
     np.testing.assert_allclose(np.asarray(C.todense()), (m @ m).toarray(),
                                atol=1e-9)
+
+
+def test_spgemm_esc_multipart():
+    """Force several row-aligned ESC parts (part_slots far below the
+    fan-out) — per-part results must concatenate into the exact product
+    with no cross-part duplicates."""
+    from sparsemat_tpu.ops import algebra
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 500
+    m = sp.random(n, n, density=0.03, format="csr", random_state=4,
+                  dtype=np.float64)
+    m.sum_duplicates()
+    A = smt.CSR.from_scipy(m)
+    ca, bcsr = A.to_coo(), A.to_csr()
+    out = algebra._spgemm_device_esc(ca, bcsr, (n, n), jnp.dtype(np.float64),
+                                     part_slots=1 << 10)
+    ref = (m @ m).toarray()
+    np.testing.assert_allclose(np.asarray(out.todense()), ref, atol=1e-12)
+    # canonical invariants: rows ascending, (row, col) strictly increasing
+    r = np.asarray(out.rows); c = np.asarray(out.cols)
+    valid = r < n
+    rv, cv = r[valid], c[valid]
+    key = rv.astype(np.int64) * n + cv
+    assert np.all(np.diff(key) > 0), "duplicate or unsorted coordinates"
+
+
+def test_spgemm_esc_heavy_row():
+    """A single near-dense row whose fan-out exceeds the requested
+    part_slots: the part size must grow to keep parts row-aligned."""
+    from sparsemat_tpu.ops import algebra
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    n = 300
+    m = sp.random(n, n, density=0.01, format="lil", random_state=5,
+                  dtype=np.float64)
+    m[7, :250] = rng.standard_normal(250)
+    m = m.tocsr(); m.sum_duplicates()
+    A = smt.CSR.from_scipy(m)
+    ca, bcsr = A.to_coo(), A.to_csr()
+    out = algebra._spgemm_device_esc(ca, bcsr, (n, n), jnp.dtype(np.float64),
+                                     part_slots=64)
+    np.testing.assert_allclose(np.asarray(out.todense()), (m @ m).toarray(),
+                               atol=1e-12)
