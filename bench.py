@@ -236,7 +236,8 @@ def pallas_copy_bw():
     from jax.experimental import pallas as pl
 
     nr, nc = 8192, 8192                      # 256 MB f32
-    blk = (512, nc)                          # 16 MB per grid step
+    blk = (64, nc)                           # 2 MB per grid step (VMEM fits
+    #                                          in+out double-buffered: 8 MB)
 
     def kernel(x_ref, o_ref):
         o_ref[...] = x_ref[...] * np.float32(0.9999999)
@@ -429,10 +430,20 @@ def bench_cg(bw, n=512):
         _sync_scalar(x)
         best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
     ips = 1.0 / best
-    # honest per-iteration traffic LOWER bound: one SpMV at layout
-    # speed-of-light + axpy/dot vector passes (x,r read+write; Ap re-read;
-    # p re-read; p update read r,p write p) ≈ 9 n-vectors
-    iter_bytes = A.spmv_traffic_bytes() + 9 * m * 4
+    # Honest per-iteration traffic LOWER bound under full XLA fusion: the
+    # matrix stream + ONE vector read + ONE vector write (every other
+    # vector pass can in principle fuse into those).  r2 used "+9 vectors",
+    # which measured >1 — it was an upper-ish estimate, not a bound.
+    a_bytes = A.spmv_traffic_bytes() - 2 * m * 4   # matrix arrays only
+    iter_bytes = a_bytes + 2 * m * 4
+    # XLA pins loop-invariant buffers in VMEM (~16 MB/core): a matrix that
+    # fits is NOT re-streamed from HBM each iteration, so no HBM-stream
+    # bound applies — report iters/s only.
+    if a_bytes <= 12 * 1024 * 1024:
+        log(f"  CG Poisson {m:,} rows f32: {ips:,.0f} iters/s "
+            f"({best*1e6:.0f} us/iter over {iters} iters; matrix "
+            f"{a_bytes/1e6:.0f} MB is VMEM-pinnable — no HBM fraction)")
+        return ips, None
     frac = sol_fraction(f"cg_poisson_{m}", iter_bytes, best, bw)
     log(f"  CG Poisson {m:,} rows f32: {ips:,.0f} iters/s "
         f"({best*1e6:.0f} us/iter over {iters} iters, {100*frac:.1f}% of "
@@ -449,6 +460,9 @@ def bench_cg_f64_subprocess(timeout_s):
 import json, sys, time
 import numpy as np
 import jax
+# Enabling x64 BEFORE the axon backend initializes hangs/recurses in the
+# plugin; init devices first, then flip x64 (measured: works cleanly).
+jax.devices()
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 sys.path.insert(0, %r)
@@ -507,6 +521,7 @@ print(json.dumps({
     "rows": m,
 }))
 """ % _REPO
+    out = None
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
@@ -520,6 +535,8 @@ print(json.dumps({
         return d
     except Exception as e:  # pragma: no cover
         log(f"  f64 CG subprocess failed: {str(e)[:200]}")
+        if out is not None and out.stderr:
+            log("  f64 subprocess stderr tail: " + out.stderr[-500:])
         return None
 
 
@@ -644,7 +661,8 @@ def main():
     def config_cg_big():
         ips, frac = bench_cg(bw, n=2048)          # HBM regime, 4.2M rows
         DETAIL["cg_poisson_4M_iters_per_s"] = round(ips, 1)
-        DETAIL["cg_poisson_4M_sol_frac"] = round(float(frac), 4)
+        if frac is not None:
+            DETAIL["cg_poisson_4M_sol_frac"] = round(float(frac), 4)
 
     run_config("cg_f32_262k", 40, config_cg_small)
     run_config("cg_f32_4M", 60, config_cg_big)
@@ -696,7 +714,8 @@ def main():
     def config_fem_spmv():
         res_fem = bench_spmv_variants(
             "fem_217k", fem_state["scipy"], bw,
-            {"slab": lambda c: c.to_slab(), "csr_stream": lambda c: c})
+            {"slab_pack": lambda c: c.to_slab_pack(),
+             "slab": lambda c: c.to_slab()})
         if res_fem:
             bestv = max(res_fem, key=lambda kk: res_fem[kk][0])
             DETAIL["spmv_fem_217k_gnnz_per_s"] = round(res_fem[bestv][0] / 1e9, 3)
@@ -708,7 +727,7 @@ def main():
         m_rhs = 128
         B = jnp.asarray(np.random.default_rng(3).standard_normal(
             (fem.shape[1], m_rhs)).astype(np.float32) * 0.01)
-        slab = fem_csr.to_slab()
+        slab = fem_csr.to_slab_pack()
         Y = jax.jit(smt.spmm)(slab, B)
         ys = np.asarray(Y[:256, :8])
         refY = (fem[:256] @ np.asarray(B[:, :8])).astype(np.float32)
@@ -722,21 +741,24 @@ def main():
 
     run_config("fem_spmm", 60, config_fem_spmm)
 
-    # scircuit-class (power-law global scatter)
+    # scircuit-class (power-law global scatter).  WELL is deliberately NOT
+    # benched here: its one-entry-per-window tiles inflate ~70× and its
+    # freeze+compile ate 410 s of the r2... r3a budget.  GELL is the
+    # scatter-free ladder (gather-only; XLA scatter ≈ gather ≈ 0.13 G/s,
+    # so dropping the scatter ≈ doubles the stream).
     circ = (matgen.circuit_scatter() * np.float32(2e-2)).astype(np.float32).tocsr()
 
     def config_scircuit_spmv():
         res_circ = bench_spmv_variants(
             "scircuit_171k", circ, bw,
-            {"csr_stream": lambda c: c, "well": lambda c: c.to_well()})
+            {"gell": lambda c: c.to_gell(), "csr_stream": lambda c: c})
         if res_circ:
             bestv = max(res_circ, key=lambda kk: res_circ[kk][0])
             DETAIL["spmv_scircuit_gnnz_per_s"] = round(res_circ[bestv][0] / 1e9, 3)
 
-    run_config("scircuit_spmv", 60, config_scircuit_spmv)
-
     # SpGEMM (config 4): A @ A via the partitioned-ESC device path,
-    # validated by operator probe
+    # validated by operator probe.  Runs BEFORE the scircuit SpMV sweep so a
+    # slow SpMV variant can no longer starve it (r2/r3a both lost SpGEMM).
     rngp = np.random.default_rng(5)
 
     def spgemm_one(nm, spm):
@@ -762,6 +784,7 @@ def main():
     run_config("spgemm_scircuit", 90, lambda: spgemm_one("scircuit", circ))
     run_config("spgemm_fem", 180, lambda: spgemm_one("fem_217k",
                                                      fem_state["scipy"]))
+    run_config("scircuit_spmv", 60, config_scircuit_spmv)
 
 
 if __name__ == "__main__":

@@ -28,7 +28,8 @@ from .solvers import (
     SolveInfo,
 )
 from .formats import (
-    BSR, COO, CSR, DIA, ELL, SELL, WELL, RowVec, SlabELL, SparseFormat,
+    BSR, COO, CSR, DIA, ELL, GELL, SELL, WELL, RowVec, SlabELL, SlabPack,
+    SparseFormat,
     auto_format,
 )
 from .ops import (
@@ -52,7 +53,8 @@ from .vectors import DenseVec, SparseVec, norm, norm_squared
 __version__ = "0.1.0"
 
 __all__ = [
-    "BSR", "COO", "CSR", "DIA", "ELL", "RowVec", "SELL", "SlabELL", "WELL",
+    "BSR", "COO", "CSR", "DIA", "ELL", "GELL", "RowVec", "SELL", "SlabELL",
+    "SlabPack", "WELL",
     "SparseFormat", "auto_format",
     "SparseBuilder", "PartitionedBuilder",
     "ConjugateGradient", "Jacobi", "BiCGStab", "GMRES",

@@ -23,11 +23,12 @@ from .dia import DIA
 from .ell import ELL
 from .rowvec import RowVec
 from .sell import SELL
-from .slab import SlabELL
+from .gell import GELL
+from .slab import SlabELL, SlabPack
 from .well import WELL
 
-__all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "RowVec",
-           "SELL", "SlabELL", "WELL", "auto_format"]
+__all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "GELL",
+           "RowVec", "SELL", "SlabELL", "SlabPack", "WELL", "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
@@ -49,9 +50,10 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
     * skewed distribution on a non-TPU backend → SELL (per-slice padding;
       it has no Pallas kernel, so on TPU it would land on the slow COO
       stream — skipped there);
-    * fallback → CSR gather + segment-sum stream (also the global-scatter
-      choice: measured faster than WELL on scircuit-class matrices, whose
-      one-entry-per-window tiles inflate WELL ×70).
+    * fallback (global scatter, e.g. scircuit) → GELL, the scatter-free
+      gather ladder: XLA gathers and scatters both run ~0.13 G elem/s on
+      TPU, so eliminating the scatter roughly doubles the CSR stream, and
+      nothing structural is available to exploit.
     """
     import jax
     import numpy as np
@@ -72,8 +74,8 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
         sell = SELL.from_csr(csr, slice_height=8)
         if sell.nse <= max_ell_waste * nnz:
             return sell
-    slab = SlabELL.from_csr(csr)
+    slab = SlabPack.from_csr(csr)
     if (slab.x_bytes() <= 8 * 1024 * 1024
             and slab.nse <= max_slab_waste * nnz):
         return slab
-    return csr
+    return GELL.from_csr(csr)

@@ -103,6 +103,17 @@ class SparseFormat:
 
         return SlabELL.from_csr(self.to_csr(), rb=rb or SLAB_ROW_BLOCK)
 
+    def to_slab_pack(self, rb: int | None = None, n_classes: int = 8):
+        from .slab import SLAB_ROW_BLOCK, SlabPack
+
+        return SlabPack.from_csr(self.to_csr(), rb=rb or SLAB_ROW_BLOCK,
+                                 n_classes=n_classes)
+
+    def to_gell(self, k0: int | None = None):
+        from .gell import GELL
+
+        return GELL.from_csr(self.to_csr(), k0=k0)
+
     @property
     def n_rows(self) -> int:
         return self.shape[0]

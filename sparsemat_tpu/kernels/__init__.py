@@ -8,6 +8,8 @@ interpret-mode tests and as a CPU fallback.
 
 from .spmm import bsr_spmm_pallas, bsr_spmm_xla, spmm_pallas
 from .spmv import (
+    slab_pack_spmv_pallas,
+    slab_pack_spmv_xla,
     slab_spmv_pallas,
     slab_spmv_xla,
     spmv_pallas,

@@ -156,18 +156,27 @@ def slab_spmv_xla(sl: SlabELL, x: jax.Array) -> jax.Array:
     return y.reshape(-1)[:n_rows]
 
 
+#: target HBM bytes per grid step — per-step overhead is ~300-500 ns, so
+#: steps should move ≥ ~200 KB (CLAUDE.md); small-C matrices batch several
+#: row blocks per step to reach it
+_SLAB_STEP_BYTES = 1 << 18
+
+
 def slab_spmv_pallas(sl: SlabELL, x: jax.Array, *,
-                     interpret: bool = False) -> jax.Array:
-    """Pallas TPU kernel: one grid step per RB-row block.
+                     interpret: bool = False,
+                     blocks_per_step: int | None = None) -> jax.Array:
+    """Pallas TPU kernel: one grid step per group of RB-row blocks.
 
     The operand vector lives whole in VMEM as (n_win, 128) windows (full-
-    array BlockSpec — loaded once, revisited every step).  Per step the
-    kernel loops the block's static window ``buckets``: one dynamic sublane
+    array BlockSpec — loaded once, revisited every step).  Per block the
+    kernel loops the static window ``buckets``: one dynamic sublane
     slice pulls the bucket's x window (``win_lo[i] + w``), one 128-lane
     ``take_along_axis`` gathers per sublane group, and the FMA accumulates
     into an (8, 128) register tile per lane chunk — no window masking, no
     manual DMA.  Tiles are transposed (C, RB) so every block DMA is
-    lane-aligned."""
+    lane-aligned.  Zero-height buckets (possible in SlabPack classes) are
+    skipped statically.  When C×RB is small, ``blocks_per_step`` > 1 blocks
+    share a grid step so each step still moves ≥ ~256 KB."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -181,49 +190,100 @@ def slab_spmv_pallas(sl: SlabELL, x: jax.Array, *,
     n_win = int(xw.shape[0])
     vals_all = sl.vals.astype(adt)
     nlc = rb // SLAB_WINDOW
+    if blocks_per_step is None:
+        blocks_per_step = int(np.clip(
+            _SLAB_STEP_BYTES // max(c * rb * 8, 1), 1, 16))
+    b2 = min(blocks_per_step, n_rb)
 
     def kernel(wl_ref, vals_ref, lidx_ref, x_ref, o_ref):
         i = pl.program_id(0)
-        wlo = wl_ref[i]
-        for j in range(nlc):
-            acc = jnp.zeros((SUBLANE, SLAB_WINDOW), adt)
-            for w, (o, h) in enumerate(buckets):
-                xrow = x_ref[pl.ds(wlo + w, 1), :]            # (1, 128)
-                v = vals_ref[0, o:o + h, j * 128:(j + 1) * 128]
-                li = lidx_ref[0, o:o + h, j * 128:(j + 1) * 128]
-                xb = jnp.broadcast_to(xrow, (h, SLAB_WINDOW))
-                g = jnp.take_along_axis(xb, li, axis=1)
-                prod = v * g                                  # (h, 128)
-                acc = acc + prod.reshape(
-                    h // SUBLANE, SUBLANE, SLAB_WINDOW).sum(axis=0)
-            # per-lane-chunk store (1-D concatenate is unsupported in Mosaic)
-            o_ref[0, 0, j * 128:(j + 1) * 128] = jnp.sum(acc, axis=0)
+        for b in range(b2):
+            wlo = wl_ref[i * b2 + b]
+            for j in range(nlc):
+                acc = jnp.zeros((SUBLANE, SLAB_WINDOW), adt)
+                for w, (o, h) in enumerate(buckets):
+                    if h == 0:
+                        continue
+                    xrow = x_ref[pl.ds(wlo + w, 1), :]        # (1, 128)
+                    v = vals_ref[b, o:o + h, j * 128:(j + 1) * 128]
+                    li = lidx_ref[b, o:o + h, j * 128:(j + 1) * 128]
+                    xb = jnp.broadcast_to(xrow, (h, SLAB_WINDOW))
+                    g = jnp.take_along_axis(xb, li, axis=1)
+                    prod = v * g                              # (h, 128)
+                    acc = acc + prod.reshape(
+                        h // SUBLANE, SUBLANE, SLAB_WINDOW).sum(axis=0)
+                # per-lane-chunk store (1-D concat unsupported in Mosaic)
+                o_ref[b, 0, j * 128:(j + 1) * 128] = jnp.sum(acc, axis=0)
 
     outs = []
     for cs in range(0, n_rb, _SLAB_MAX_BLOCKS_PER_CALL):
         ce = min(cs + _SLAB_MAX_BLOCKS_PER_CALL, n_rb)
         nb = ce - cs
+        nb_pad = -(-nb // b2) * b2
+        wl = sl.win_lo[cs:ce]
+        va = vals_all[cs:ce]
+        li = sl.lidx[cs:ce]
+        if nb_pad != nb:
+            wl = jnp.pad(wl, (0, nb_pad - nb))
+            va = jnp.pad(va, ((0, nb_pad - nb), (0, 0), (0, 0)))
+            li = jnp.pad(li, ((0, nb_pad - nb), (0, 0), (0, 0)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb,),
+            grid=(nb_pad // b2,),
             in_specs=[
-                pl.BlockSpec((1, c, rb), lambda i, wl: (i, 0, 0)),
-                pl.BlockSpec((1, c, rb), lambda i, wl: (i, 0, 0)),
+                pl.BlockSpec((b2, c, rb), lambda i, wl: (i, 0, 0)),
+                pl.BlockSpec((b2, c, rb), lambda i, wl: (i, 0, 0)),
                 pl.BlockSpec((n_win, SLAB_WINDOW), lambda i, wl: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, rb), lambda i, wl: (i, 0, 0)),
+            out_specs=pl.BlockSpec((b2, 1, rb), lambda i, wl: (i, 0, 0)),
         )
         y = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nb, 1, rb), adt),
+            out_shape=jax.ShapeDtypeStruct((nb_pad, 1, rb), adt),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=2 * nb * c * rb,
-                bytes_accessed=int(nb * c * rb * 8
-                                   + n_win * SLAB_WINDOW * 4 + nb * rb * 4),
+                flops=2 * nb_pad * c * rb,
+                bytes_accessed=int(nb_pad * c * rb * 8
+                                   + n_win * SLAB_WINDOW * 4 + nb_pad * rb * 4),
                 transcendentals=0),
-        )(sl.win_lo[cs:ce], vals_all[cs:ce], sl.lidx[cs:ce], xw)
-        outs.append(y.reshape(-1))
+        )(wl, va, li, xw)
+        outs.append(y[:nb].reshape(-1))
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return y[:n_rows]
+
+
+# --- SlabPack: per-block-class buckets (see formats/slab.py) -----------------
+
+from ..formats.slab import SlabPack  # noqa: E402
+
+
+def _slab_pack_combine(pack: SlabPack, part_ys) -> jax.Array:
+    """Recombine per-part block rows by the static block permutation."""
+    rb = pack.row_block
+    ids_concat = np.concatenate(
+        [np.asarray(ids, np.int64) for ids in pack.block_ids])
+    inv = np.argsort(ids_concat)
+    Y = jnp.concatenate([y.reshape(-1, rb) for y in part_ys], axis=0)
+    return Y[jnp.asarray(inv)].reshape(-1)[: pack.shape[0]]
+
+
+def slab_pack_spmv_pallas(pack: SlabPack, x: jax.Array, *,
+                          interpret: bool = False) -> jax.Array:
+    """One ``slab_spmv_pallas`` per homogeneous class, then a block-granular
+    static permutation gather back to matrix row order; the overflow pack
+    (deep-occupancy spill entries) adds its contribution on top."""
+    ys = [slab_spmv_pallas(p, x, interpret=interpret) for p in pack.parts]
+    y = _slab_pack_combine(pack, ys)
+    if pack.overflow is not None:
+        y = y + slab_pack_spmv_pallas(pack.overflow, x, interpret=interpret)
+    return y
+
+
+def slab_pack_spmv_xla(pack: SlabPack, x: jax.Array) -> jax.Array:
+    """XLA reference implementation (CPU fallback / correctness oracle)."""
+    ys = [slab_spmv_xla(p, x) for p in pack.parts]
+    y = _slab_pack_combine(pack, ys)
+    if pack.overflow is not None:
+        y = y + slab_pack_spmv_xla(pack.overflow, x)
+    return y

@@ -113,6 +113,24 @@ def _ell_spmm(ell: ELL, B):
     return y[: ell.n_rows]
 
 
+# --- GELL ladder path (no scatter anywhere: see formats/gell.py) -------------
+
+def _gell_spmv(g, x):
+    y = _ell_spmv(g.levels[0], x)
+    for lvl, inv in zip(g.levels[1:], g.inv_maps):
+        yl = _ell_spmv(lvl, x)
+        y = y + yl.at[inv].get(mode="fill", fill_value=0)
+    return y
+
+
+def _gell_spmm(g, B):
+    y = _ell_spmm(g.levels[0], B)
+    for lvl, inv in zip(g.levels[1:], g.inv_maps):
+        yl = _ell_spmm(lvl, B)
+        y = y + yl.at[inv].get(mode="fill", fill_value=0)
+    return y
+
+
 # --- public dispatch ---------------------------------------------------------
 
 def spmv(mat, x, *, method: str | None = None) -> jax.Array:
@@ -132,9 +150,17 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
 
             return dia_spmv_pallas(dia, x)
         return dia_spmv(dia, x)
-    from ..formats.slab import SlabELL
+    from ..formats.slab import SlabELL, SlabPack
     from ..formats.well import WELL
 
+    if isinstance(mat, SlabPack) or method == "slab_pack":
+        from ..kernels.spmv import slab_pack_spmv_pallas, slab_pack_spmv_xla
+
+        pk = mat if isinstance(mat, SlabPack) else mat.to_slab_pack()
+        vmem_need = pk.x_bytes() + 4 * pk.max_part_tile_bytes()
+        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
+            return slab_pack_spmv_pallas(pk, x)
+        return slab_pack_spmv_xla(pk, x)
     if isinstance(mat, SlabELL) or method == "slab":
         from ..kernels.spmv import slab_spmv_pallas, slab_spmv_xla
 
@@ -151,6 +177,11 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
         if _on_tpu():
             return well_spmv_pallas(well, x)
         return well_spmv_xla(well, x)
+    from ..formats.gell import GELL
+
+    if isinstance(mat, GELL) or method == "gell":
+        g = mat if isinstance(mat, GELL) else mat.to_gell()
+        return _gell_spmv(g, x)
     if isinstance(mat, ELL) or method == "ell":
         ell = mat if isinstance(mat, ELL) else mat.to_ell()
         return _ell_spmv(ell, x)
@@ -201,8 +232,17 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
     if isinstance(mat, DIA) or method == "dia":
         dia = mat if isinstance(mat, DIA) else mat.to_dia()
         return dia_spmm(dia, B)
-    from ..formats.slab import SlabELL
+    from ..formats.slab import SlabELL, SlabPack
 
+    if isinstance(mat, SlabPack) or method == "slab_pack":
+        pk = mat if isinstance(mat, SlabPack) else mat.to_slab_pack()
+        vmem_need = pk.x_bytes() + 4 * pk.max_part_tile_bytes()
+        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
+            from ..kernels.spmv import slab_pack_spmv_pallas
+
+            return jax.vmap(lambda col: slab_pack_spmv_pallas(pk, col),
+                            in_axes=1, out_axes=1)(B)
+        return spmm(pk.to_csr(), B, method=None)
     if isinstance(mat, SlabELL) or method == "slab":
         sl = mat if isinstance(mat, SlabELL) else mat.to_slab()
         vmem_need = sl.x_bytes() + 4 * sl.c_total * sl.row_block * 8
@@ -214,6 +254,11 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
             return jax.vmap(lambda col: slab_spmv_pallas(sl, col),
                             in_axes=1, out_axes=1)(B)
         return spmm(sl.to_csr(), B, method=None)
+    from ..formats.gell import GELL
+
+    if isinstance(mat, GELL) or method == "gell":
+        g = mat if isinstance(mat, GELL) else mat.to_gell()
+        return _gell_spmm(g, B)
     if isinstance(mat, ELL) or method == "ell":
         ell = mat if isinstance(mat, ELL) else mat.to_ell()
         return _ell_spmm(ell, B)

@@ -17,17 +17,20 @@ decomposition (sparsemat_par.rs:20-35) maps onto a ``jax.sharding.Mesh``:
   matvec and sharded vectors.
 """
 
-from .dist import (DistCSR, DistDIA, DistELL, DistSlab, dist_csr_spmv,
-                   dist_dia_spmv, dist_ell_spmv, dist_slab_spmv,
-                   distribute_csr, distribute_dia, distribute_slab)
+from .dist import (DistCSR, DistCSRSubset, DistDIA, DistELL, DistSlab,
+                   dist_csr_spmv, dist_csr_subset_spmv, dist_dia_spmv,
+                   dist_ell_spmv, dist_slab_spmv, distribute_csr,
+                   distribute_csr_subset, distribute_dia, distribute_slab)
 from .mesh import make_mesh, row_sharding
 from .multihost import (init_distributed, make_host_mesh, make_mesh_2d,
                         process_info)
 
 __all__ = [
-    "DistDIA", "DistCSR", "DistELL", "DistSlab",
-    "distribute_dia", "distribute_csr", "distribute_slab",
-    "dist_dia_spmv", "dist_csr_spmv", "dist_ell_spmv", "dist_slab_spmv",
+    "DistDIA", "DistCSR", "DistCSRSubset", "DistELL", "DistSlab",
+    "distribute_dia", "distribute_csr", "distribute_csr_subset",
+    "distribute_slab",
+    "dist_dia_spmv", "dist_csr_spmv", "dist_csr_subset_spmv",
+    "dist_ell_spmv", "dist_slab_spmv",
     "make_mesh", "row_sharding",
     "init_distributed", "make_host_mesh", "make_mesh_2d", "process_info",
 ]

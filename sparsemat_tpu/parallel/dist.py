@@ -341,6 +341,157 @@ def dist_ell_spmv(mat: DistELL, x: jax.Array, mesh: Mesh) -> jax.Array:
         out_specs=P(axis))(mat.cols, mat.vals, x)
 
 
+# --- DistCSRSubset: halo-subset exchange for general matrices -----------------
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class DistCSRSubset:
+    """General sparse matrix, block-row partitioned, with *subset* operand
+    exchange (round-2 verdict #9): instead of all-gathering the whole
+    operand (O(n) interconnect traffic per SpMV, ``DistCSR``), each device
+    sends every peer ONLY the x entries that peer's rows actually
+    reference.  The needed-column sets are computed once at distribute
+    time; the runtime exchange is one ``lax.all_to_all`` of
+    (n_dev, m_max) values — traffic ∝ boundary size, not n.
+
+    ``send_idx``: (n_dev, n_dev, m_max) — device d's row p lists the local
+    x indices d must ship to peer p (padded with 0; receivers never
+    reference padding slots).  ``indices``: (n_dev, nnz_max) LOCAL
+    renumbered column ids: ``[0, r)`` = own shard, ``r + d*m_max + pos`` =
+    slot pos of the subset received from device d.
+
+    Completed successor of the reference's unrealized parallel mvp
+    (src/sparsemat_par.rs:37-68), in the spirit of BASELINE config 5's
+    "halo exchange overlapped with local SpMV".
+    """
+
+    send_idx: jax.Array = array_field()
+    indices: jax.Array = array_field()
+    data: jax.Array = array_field()
+    local_rows: jax.Array = array_field()
+    shape: Tuple[int, int] = static_field()
+    axis: str = static_field()
+    m_max: int = static_field()
+    rpb: int = static_field()
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.send_idx.shape[0])
+
+    @property
+    def rows_per_block(self) -> int:
+        return self.rpb
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_blocks * self.rpb
+
+    padded_vector = DistDIA.padded_vector
+    unpad = DistDIA.unpad
+
+    def exchange_bytes_per_spmv(self) -> int:
+        """Interconnect payload per SpMV (excl. the self-row, which stays
+        local): (n_dev-1) subsets of m_max values per device."""
+        n = self.n_blocks
+        return n * (n - 1) * self.m_max * int(
+            jnp.dtype(self.data.dtype).itemsize)
+
+    def matvec(self, x: jax.Array, mesh: Mesh) -> jax.Array:
+        return dist_csr_subset_spmv(self, x, mesh)
+
+
+def distribute_csr_subset(csr, mesh: Mesh, axis: str = ROWS_AXIS
+                          ) -> DistCSRSubset:
+    """Partition a CSR matrix with precomputed needed-column subsets
+    (host-side).  Requires n_cols ≤ padded rows (square-ish operators,
+    same assumption as the other row-partitioned formats)."""
+    n_dev = mesh.shape[axis]
+    n_rows, n_cols = csr.shape
+    padded = _pad_rows(max(n_rows, n_cols), n_dev)
+    r = padded // n_dev
+    indptr = csr.host("indptr").astype(np.int64)
+    indices = csr.host("indices").astype(np.int64)
+    data = csr.host("data")
+
+    needed = {}          # (owner d, consumer b) -> sorted unique local cols
+    block_entries = []
+    for b in range(n_dev):
+        lo, hi = min(b * r, n_rows), min((b + 1) * r, n_rows)
+        s, e = indptr[lo], indptr[hi]
+        cols_b = indices[s:e]
+        owners = cols_b // r
+        for d in np.unique(owners):
+            if d != b:
+                needed[(int(d), b)] = np.unique(
+                    cols_b[owners == d] - d * r)
+        block_entries.append((lo, hi, s, e, cols_b, owners))
+
+    m_max = max([v.size for v in needed.values()] + [1])
+    send_idx = np.zeros((n_dev, n_dev, m_max), np.int32)
+    for (d, b), v in needed.items():
+        send_idx[d, b, : v.size] = v
+
+    nnz_max = max(max((e - s) for (_, _, s, e, _, _) in block_entries), 1)
+    indices_b = np.zeros((n_dev, nnz_max), np.int32)
+    data_b = np.zeros((n_dev, nnz_max), data.dtype)
+    lrows_b = np.full((n_dev, nnz_max), r, np.int32)
+    for b, (lo, hi, s, e, cols_b, owners) in enumerate(block_entries):
+        local = np.empty(cols_b.shape, np.int64)
+        own = owners == b
+        local[own] = cols_b[own] - b * r
+        for d in np.unique(owners):
+            if d == b:
+                continue
+            sel = owners == d
+            pos = np.searchsorted(needed[(int(d), b)], cols_b[sel] - d * r)
+            local[sel] = r + d * m_max + pos
+        indices_b[b, : e - s] = local
+        data_b[b, : e - s] = data[s:e]
+        lrows_b[b, : e - s] = np.repeat(
+            np.arange(hi - lo, dtype=np.int32), np.diff(indptr[lo:hi + 1]))
+
+    spec2 = NamedSharding(mesh, P(axis, None))
+    spec3 = NamedSharding(mesh, P(axis, None, None))
+    return DistCSRSubset(
+        send_idx=jax.device_put(send_idx, spec3),
+        indices=jax.device_put(indices_b, spec2),
+        data=jax.device_put(data_b, spec2),
+        local_rows=jax.device_put(lrows_b, spec2),
+        shape=csr.shape, axis=axis, m_max=m_max, rpb=r)
+
+
+def dist_csr_subset_spmv(mat: DistCSRSubset, x: jax.Array,
+                         mesh: Mesh) -> jax.Array:
+    """y = A @ x with subset exchange: gather own contributions for every
+    peer, one all_to_all, then a purely local gather + scatter-add."""
+    axis = mat.axis
+    n_dev = mat.n_blocks
+    m = mat.m_max
+
+    def local(send_blk, indices_blk, data_blk, lrows_blk, x_blk):
+        r = x_blk.shape[0]
+        mine = x_blk.at[send_blk[0]].get(mode="fill", fill_value=0)
+        if n_dev > 1:
+            recv = jax.lax.all_to_all(
+                mine, axis, split_axis=0, concat_axis=0, tiled=True)
+        else:
+            recv = mine
+        xl = jnp.concatenate([x_blk, recv.reshape(-1)])
+        adt = accum_dtype(jnp.result_type(data_blk.dtype, x_blk.dtype))
+        prod = data_blk[0].astype(adt) * xl.at[indices_blk[0]].get(
+            mode="fill", fill_value=0).astype(adt)
+        y = jnp.zeros((r,), adt)
+        return y.at[lrows_blk[0]].add(prod, mode="drop")
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis)),
+        out_specs=P(axis))(mat.send_idx, mat.indices, mat.data,
+                           mat.local_rows, x)
+
+
 # --- DistSlab ----------------------------------------------------------------
 
 

@@ -202,3 +202,48 @@ def test_dist_cg_stencil27_3d(mesh8):
     from scipy.sparse.linalg import cg as scipy_cg
     ref, _ = scipy_cg(lap.astype(np.float64), b.astype(np.float64), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(dA.unpad(x)), ref, atol=1e-3)
+
+
+# --- DistCSRSubset: halo-subset exchange (r2 verdict #9) ----------------------
+
+def test_dist_csr_subset_matches_scipy(mesh8):
+    m = random_banded(257, [-40, -3, 0, 3, 40], seed=11).tocsr()
+    A = smt.CSR.from_scipy(m)
+    dS = parallel.distribute_csr_subset(A, mesh8)
+    x = np.random.default_rng(12).standard_normal(257).astype(np.float32)
+    xs = dS.padded_vector(x, mesh8)
+    y = np.asarray(dS.unpad(dS.matvec(xs, mesh8)))
+    ref = m @ x
+    np.testing.assert_allclose(y, ref, atol=1e-4 * max(np.abs(ref).max(), 1))
+
+
+def test_dist_csr_subset_traffic_tracks_boundary(mesh8):
+    # banded matrix: each device only needs a halo-wide slice from its two
+    # neighbors, so the exchanged payload must be a small fraction of the
+    # full all-gather (which moves padded_rows values per device)
+    n, halo = 1024, 6
+    m = random_banded(n, [-halo, 0, halo], seed=13).tocsr()
+    dS = parallel.distribute_csr_subset(smt.CSR.from_scipy(m), mesh8)
+    full_gather_bytes = 8 * dS.padded_rows * 4      # what DistCSR moves
+    assert dS.m_max <= halo
+    assert dS.exchange_bytes_per_spmv() < full_gather_bytes / 10
+    x = np.random.default_rng(14).standard_normal(n).astype(np.float32)
+    y = np.asarray(dS.unpad(dS.matvec(dS.padded_vector(x, mesh8), mesh8)))
+    ref = m @ x
+    np.testing.assert_allclose(y, ref, atol=1e-4 * max(np.abs(ref).max(), 1))
+
+
+def test_dist_csr_subset_global_scatter_still_correct(mesh8):
+    # uniformly scattered columns: subsets degrade gracefully toward the
+    # all-gather (correctness must hold regardless)
+    rng = np.random.default_rng(15)
+    n = 320
+    m = sp.coo_matrix((rng.standard_normal(2000).astype(np.float32),
+                       (rng.integers(0, n, 2000), rng.integers(0, n, 2000))),
+                      shape=(n, n)).tocsr()
+    m.sum_duplicates()
+    dS = parallel.distribute_csr_subset(smt.CSR.from_scipy(m), mesh8)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(dS.unpad(dS.matvec(dS.padded_vector(x, mesh8), mesh8)))
+    ref = m @ x
+    np.testing.assert_allclose(y, ref, atol=1e-4 * max(np.abs(ref).max(), 1))

@@ -10,7 +10,8 @@ import scipy.sparse as sp
 
 import sparsemat_tpu as smt
 
-FORMATS = ["coo", "csr", "ell", "sell", "dia", "well", "slab", "bsr"]
+FORMATS = ["coo", "csr", "ell", "sell", "dia", "well", "slab", "slab_pack",
+           "gell", "bsr"]
 
 
 def rand_sparse(n_rows, n_cols, density, seed, dtype=np.float32):
@@ -26,6 +27,8 @@ def to_format(csr_scipy, fmt):
         "coo": A.to_coo, "csr": lambda: A, "ell": A.to_ell,
         "sell": A.to_sell, "dia": A.to_dia, "well": A.to_well,
         "slab": A.to_slab,
+        "slab_pack": lambda: A.to_slab_pack(n_classes=4),
+        "gell": A.to_gell,
         "bsr": lambda: smt.BSR.from_csr(A),
     }[fmt]()
 
