@@ -29,7 +29,7 @@ from .solvers import (
 )
 from .formats import (
     BSR, COO, CSR, DIA, ELL, GELL, SELL, WELL, RowVec, SlabELL, SlabPack,
-    SparseFormat,
+    SlabStream, SparseFormat,
     auto_format,
 )
 from .ops import (
@@ -54,7 +54,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BSR", "COO", "CSR", "DIA", "ELL", "GELL", "RowVec", "SELL", "SlabELL",
-    "SlabPack", "WELL",
+    "SlabPack", "SlabStream", "WELL",
     "SparseFormat", "auto_format",
     "SparseBuilder", "PartitionedBuilder",
     "ConjugateGradient", "Jacobi", "BiCGStab", "GMRES",

@@ -24,11 +24,12 @@ from .ell import ELL
 from .rowvec import RowVec
 from .sell import SELL
 from .gell import GELL
-from .slab import SlabELL, SlabPack
+from .slab import SlabELL, SlabPack, SlabStream
 from .well import WELL
 
 __all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "GELL",
-           "RowVec", "SELL", "SlabELL", "SlabPack", "WELL", "auto_format"]
+           "RowVec", "SELL", "SlabELL", "SlabPack", "SlabStream", "WELL",
+           "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,

@@ -114,6 +114,11 @@ class SparseFormat:
 
         return GELL.from_csr(self.to_csr(), k0=k0)
 
+    def to_slab_stream(self, rb: int | None = None):
+        from .slab import SLAB_ROW_BLOCK, SlabStream
+
+        return SlabStream.from_csr(self.to_csr(), rb=rb or SLAB_ROW_BLOCK)
+
     @property
     def n_rows(self) -> int:
         return self.shape[0]

@@ -539,3 +539,173 @@ class SlabPack(SparseFormat):
         total += self.shape[1] * jnp.dtype(self.dtype).itemsize
         total += self.shape[0] * jnp.dtype(accum_dtype(self.dtype)).itemsize
         return int(total)
+
+
+# --- SlabStream: flat chunk stream with per-(block, window)-exact heights ----
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class SlabStream(SparseFormat):
+    """Slab layout as ONE flat stream of (8-row × RB-lane) chunks.
+
+    SlabELL pads window buckets to the global max height and SlabPack to a
+    class max; both leave real padding on mixed-occupancy FEM matrices
+    (measured 14.2× / 10.4× traffic inflation on a pwtk-class surrogate at
+    full scale).  SlabStream stores each (row-block, x-window) bucket at
+    its EXACT 8-rounded height: buckets are split into 8-sublane chunks and
+    all chunks concatenate into one (N, 8, RB) stream; two scalar-prefetch
+    arrays route each chunk to its x window and its output block.  One
+    Pallas kernel walks the stream, keeping the whole operand vector AND
+    the whole output resident in VMEM (accumulating via dynamic-sublane
+    read-modify-write — the grid is sequential on a TPU core, so this is
+    race-free).  No classes, no per-class compile, no recombination gather.
+
+    Successor of the same serial row loop as SlabELL (reference:
+    src/sparsematrix.rs:146-158).  VMEM bounds (x + y resident) limit it to
+    matrices with ≲1.5M rows/cols; ops.spmv guards and falls back.
+
+    ``vals``/``lidx``: (N, 8, RB); ``win_id``/``blk_id``: (N,) int32
+    (absolute x-window / output block per chunk); ``cnt8``: (N, RB) int32 —
+    stored entries per (chunk, lane), rank-within-chunk < cnt8 ⟺ stored
+    (preserves explicitly-stored zeros, ≈ get_mut zero-insert,
+    src/sparsematrix.rs:112-114).
+    """
+
+    _spmv_read_fields = ("vals", "lidx", "win_id", "blk_id")
+
+    vals: jax.Array = array_field()
+    lidx: jax.Array = array_field()
+    win_id: jax.Array = array_field()
+    blk_id: jax.Array = array_field()
+    cnt8: jax.Array = array_field()
+    shape: Tuple[int, int] = static_field()
+    row_block: int = static_field()
+
+    @classmethod
+    def from_csr(cls, csr, rb: int = SLAB_ROW_BLOCK) -> "SlabStream":
+        if rb % WINDOW:
+            raise ValueError(f"rb must be a multiple of {WINDOW}, got {rb}")
+        n_rows, n_cols = csr.shape
+        indptr = csr.host("indptr").astype(np.int64)
+        indices = csr.host("indices").astype(np.int64)
+        data = csr.host("data")
+        nnz = int(indptr[-1])
+        n_rb = max(-(-n_rows // rb), 1)
+        n_win = max(-(-n_cols // WINDOW), 1)
+
+        if nnz == 0:
+            return cls(vals=jnp.zeros((1, SUBLANE, rb), data.dtype),
+                       lidx=jnp.zeros((1, SUBLANE, rb), jnp.int32),
+                       win_id=jnp.zeros((1,), jnp.int32),
+                       blk_id=jnp.zeros((1,), jnp.int32),
+                       cnt8=jnp.zeros((1, rb), jnp.int32),
+                       shape=(n_rows, n_cols), row_block=rb)
+
+        counts = np.diff(indptr)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        blk = rows // rb
+        lrow = (rows % rb).astype(np.int64)
+        win = indices // WINDOW
+
+        # rank of each entry within its (row, window) group (rows are
+        # column-sorted → groups are consecutive runs)
+        boundary = np.empty(nnz, bool)
+        boundary[0] = True
+        boundary[1:] = (rows[1:] != rows[:-1]) | (win[1:] != win[:-1])
+        idx = np.arange(nnz, dtype=np.int64)
+        run_start = idx[boundary]
+        rank = idx - run_start[np.cumsum(boundary) - 1]
+
+        # (block, window) buckets at exact 8-rounded heights → chunk stream
+        key = blk * n_win + win
+        ukey, key_inv = np.unique(key, return_inverse=True)
+        hmax = np.zeros(ukey.shape[0], np.int64)
+        np.maximum.at(hmax, key_inv, rank + 1)
+        n_chunks_per = -(-hmax // SUBLANE)
+        chunk_start = np.concatenate([[0], np.cumsum(n_chunks_per)])
+        n_chunks = int(chunk_start[-1])
+
+        vals_t = np.zeros((n_chunks, SUBLANE, rb), data.dtype)
+        lidx_t = np.zeros((n_chunks, SUBLANE, rb), np.int32)
+        ch = chunk_start[key_inv] + rank // SUBLANE
+        sub = rank % SUBLANE
+        vals_t[ch, sub, lrow] = data[:nnz]
+        lidx_t[ch, sub, lrow] = (indices % WINDOW).astype(np.int32)
+
+        # per-(bucket, lane) counts → per-chunk clipped counts
+        kcnt = np.zeros((ukey.shape[0], rb), np.int64)
+        np.add.at(kcnt, (key_inv, lrow), 1)
+        key_of_chunk = np.repeat(np.arange(ukey.shape[0]), n_chunks_per)
+        cl = np.arange(n_chunks) - chunk_start[key_of_chunk]
+        cnt8 = np.clip(kcnt[key_of_chunk] - SUBLANE * cl[:, None], 0,
+                       SUBLANE).astype(np.int32)
+
+        return cls(vals=jnp.asarray(vals_t), lidx=jnp.asarray(lidx_t),
+                   win_id=jnp.asarray((ukey % n_win)[key_of_chunk]
+                                      .astype(np.int32)),
+                   blk_id=jnp.asarray((ukey // n_win)[key_of_chunk]
+                                      .astype(np.int32)),
+                   cnt8=jnp.asarray(cnt8),
+                   shape=(n_rows, n_cols), row_block=rb)
+
+    # -- canonical views ------------------------------------------------------
+    def to_coo(self):
+        from .coo import COO
+
+        n_rows = self.shape[0]
+        n, _, rb = self.vals.shape
+        sub = jnp.arange(SUBLANE, dtype=jnp.int32)
+        lane = jnp.arange(rb, dtype=jnp.int32)
+        stored = sub[None, :, None] < self.cnt8[:, None, :]
+        rows = (self.blk_id[:, None, None] * rb + lane[None, None, :])
+        rows = jnp.broadcast_to(rows, self.vals.shape)
+        cols = (self.win_id[:, None, None] * WINDOW
+                + self.lidx.astype(jnp.int32))
+        ok = stored & (rows < n_rows)
+        return COO(rows=jnp.where(ok, rows, n_rows).reshape(-1),
+                   cols=jnp.where(ok, cols, 0).reshape(-1),
+                   vals=jnp.where(ok, self.vals, 0).reshape(-1),
+                   shape=self.shape, canonical=False)
+
+    def to_csr(self):
+        return self.to_coo().to_csr()
+
+    # -- structure --------------------------------------------------------------
+    @property
+    def nse(self) -> int:
+        return int(np.prod(self.vals.shape))
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def n_row_blocks(self) -> int:
+        return max(-(-self.shape[0] // self.row_block), 1)
+
+    @property
+    def index_dtype(self):
+        return jnp.dtype(jnp.int32)
+
+    @property
+    def data(self):
+        return self.vals
+
+    def n_non_zero_entries(self):
+        return jnp.sum(self.cnt8).astype(jnp.int32)
+
+    def scale(self, scalar) -> "SlabStream":
+        return dataclasses.replace(
+            self, vals=self.vals * jnp.asarray(scalar, self.vals.dtype))
+
+    def fill_ratio(self) -> float:
+        n = int(np.asarray(self.n_non_zero_entries()))
+        return n / max(self.nse, 1)
+
+    def x_windows(self) -> int:
+        return max(-(-self.shape[1] // WINDOW), 1)
+
+    def vmem_resident_bytes(self, itemsize: int = 4) -> int:
+        """Operand + output VMEM residency (dispatch guard)."""
+        y_rows = (self.n_row_blocks + 1) * self.row_block
+        return (self.x_windows() * WINDOW + y_rows) * itemsize

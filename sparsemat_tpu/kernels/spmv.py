@@ -287,3 +287,119 @@ def slab_pack_spmv_xla(pack: SlabPack, x: jax.Array) -> jax.Array:
     if pack.overflow is not None:
         y = y + slab_pack_spmv_xla(pack.overflow, x)
     return y
+
+
+# --- SlabStream: flat chunk stream, per-(block, window)-exact heights --------
+
+from ..formats.slab import SlabStream  # noqa: E402
+
+#: HBM bytes each grid step should move (per-step overhead ~300-500 ns)
+_STREAM_STEP_BYTES = 1 << 18
+#: scalar-prefetch SMEM bound: win_id/blk_id per chunk
+_STREAM_MAX_CHUNKS_PER_CALL = 49_152
+
+
+def slab_stream_spmv_xla(st: SlabStream, x: jax.Array) -> jax.Array:
+    """XLA reference implementation (CPU fallback / correctness oracle) —
+    a straightforward per-slot gather, clarity over speed."""
+    n_rows = st.shape[0]
+    rb = st.row_block
+    adt = accum_dtype(jnp.result_type(st.vals.dtype, x.dtype))
+    n_win = st.x_windows()
+    lane_cols = (st.win_id[:, None, None] * SLAB_WINDOW
+                 + st.lidx.astype(jnp.int32))               # (N, 8, RB)
+    xp = jnp.pad(x.astype(adt), (0, n_win * SLAB_WINDOW - x.shape[0]))
+    prod = st.vals.astype(adt) * xp[lane_cols]
+    contrib = prod.sum(axis=1)                              # (N, RB)
+    n_rb = st.n_row_blocks
+    y = jnp.zeros((n_rb + 1, rb), adt)
+    y = y.at[jnp.minimum(st.blk_id, n_rb)].add(contrib)
+    return y[:n_rb].reshape(-1)[:n_rows]
+
+
+def slab_stream_spmv_pallas(st: SlabStream, x: jax.Array, *,
+                            interpret: bool = False) -> jax.Array:
+    """One Pallas kernel over the chunk stream.
+
+    x lives whole in VMEM as (n_win, 128); the output lives whole in VMEM
+    as (n_rb+1, RB) and is accumulated by dynamic-sublane read-modify-write
+    (sequential grid ⇒ race-free; the +1 row swallows padding chunks).
+    Chunk counts above the SMEM prefetch bound split into several calls
+    whose outputs add."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = st.shape[0]
+    rb = st.row_block
+    n_rb = st.n_row_blocks
+    adt = accum_dtype(jnp.result_type(st.vals.dtype, x.dtype))
+    n_win = st.x_windows()
+    xw = jnp.pad(x.astype(adt), (0, n_win * SLAB_WINDOW - x.shape[0])
+                 ).reshape(n_win, SLAB_WINDOW)
+    vals_all = st.vals.astype(adt)
+    nlc = rb // SLAB_WINDOW
+    g8 = max(_STREAM_STEP_BYTES // (SUBLANE * rb * 8), 1)
+
+    def kernel(win_ref, blk_ref, vals_ref, lidx_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        for g in range(g8):
+            w = win_ref[i * g8 + g]
+            b = blk_ref[i * g8 + g]
+            xrow = x_ref[pl.ds(w, 1), :]                  # (1, 128)
+            xb = jnp.broadcast_to(xrow, (SUBLANE, SLAB_WINDOW))
+            for j in range(nlc):
+                li = lidx_ref[g, :, j * 128:(j + 1) * 128]
+                v = vals_ref[g, :, j * 128:(j + 1) * 128]
+                gsel = jnp.take_along_axis(xb, li, axis=1)
+                contrib = jnp.sum(v * gsel, axis=0, keepdims=True)  # (1, 128)
+                cur = o_ref[pl.ds(b, 1), j * 128:(j + 1) * 128]
+                o_ref[pl.ds(b, 1), j * 128:(j + 1) * 128] = cur + contrib
+
+    n = st.n_chunks
+    outs = []
+    for cs in range(0, n, _STREAM_MAX_CHUNKS_PER_CALL):
+        ce = min(cs + _STREAM_MAX_CHUNKS_PER_CALL, n)
+        nc = ce - cs
+        nc_pad = -(-nc // g8) * g8
+        wi = st.win_id[cs:ce]
+        bi = st.blk_id[cs:ce]
+        va = vals_all[cs:ce]
+        li = st.lidx[cs:ce]
+        if nc_pad != nc:
+            wi = jnp.pad(wi, (0, nc_pad - nc))
+            bi = jnp.pad(bi, (0, nc_pad - nc),
+                         constant_values=n_rb)            # → the +1 slop row
+            va = jnp.pad(va, ((0, nc_pad - nc), (0, 0), (0, 0)))
+            li = jnp.pad(li, ((0, nc_pad - nc), (0, 0), (0, 0)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nc_pad // g8,),
+            in_specs=[
+                pl.BlockSpec((g8, SUBLANE, rb), lambda i, wr, br: (i, 0, 0)),
+                pl.BlockSpec((g8, SUBLANE, rb), lambda i, wr, br: (i, 0, 0)),
+                pl.BlockSpec((n_win, SLAB_WINDOW), lambda i, wr, br: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((n_rb + 1, rb), lambda i, wr, br: (0, 0)),
+        )
+        y = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_rb + 1, rb), adt),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nc_pad * SUBLANE * rb,
+                bytes_accessed=int(nc_pad * SUBLANE * rb * 8
+                                   + n_win * SLAB_WINDOW * 4
+                                   + (n_rb + 1) * rb * 4),
+                transcendentals=0),
+        )(wi, bi, va, li, xw)
+        outs.append(y)
+    y = outs[0]
+    for extra in outs[1:]:
+        y = y + extra
+    return y[:n_rb].reshape(-1)[:n_rows]

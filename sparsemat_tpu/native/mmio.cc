@@ -12,6 +12,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <charconv>
 #include <string>
 #include <thread>
 #include <vector>
@@ -144,8 +145,6 @@ int smt_mtx_write(const char* path, int64_t n_rows, int64_t n_cols,
   fprintf(f, "%ld %ld %lu\n", (long)n_rows, (long)n_cols,
           (unsigned long)nnz);
   if (digits < 1 || digits > 17) digits = 17;
-  char fmt[32];
-  snprintf(fmt, sizeof fmt, "%%ld %%ld %%.%dg\n", digits);
   unsigned nt = std::thread::hardware_concurrency();
   if (nt < 1) nt = 1;
   if (nt > 16) nt = 16;
@@ -157,12 +156,20 @@ int smt_mtx_write(const char* path, int64_t n_rows, int64_t n_cols,
       uint64_t lo = t * chunk, hi = std::min(nnz, (t + 1) * chunk);
       if (lo >= hi) return;
       std::string& out = bufs[t];
-      out.reserve((hi - lo) * 32);
+      out.reserve((hi - lo) * 28);
+      // std::to_chars is ~10x snprintf — this loop is the save_mtx
+      // bottleneck on the 2-core bench host
       char line[96];
       for (uint64_t k = lo; k < hi; ++k) {
-        int n = snprintf(line, sizeof line, fmt, (long)(rows[k] + 1),
-                         (long)(cols[k] + 1), vals[k]);
-        out.append(line, n);
+        char* p = line;
+        p = std::to_chars(p, line + sizeof line, rows[k] + 1).ptr;
+        *p++ = ' ';
+        p = std::to_chars(p, line + sizeof line, cols[k] + 1).ptr;
+        *p++ = ' ';
+        p = std::to_chars(p, line + sizeof line, vals[k],
+                          std::chars_format::general, digits).ptr;
+        *p++ = '\n';
+        out.append(line, p - line);
       }
     });
   }

@@ -145,7 +145,11 @@ def spgemm(a, b, *, n_cols_per_row_b: int | None = None,
         slot_bytes = 4 + jnp.dtype(adt).itemsize  # int32 col + accum value
         ell_bytes = bcsr.shape[0] * kb * slot_bytes
         if ca.nse * kb > max_fanout_slots or ell_bytes > _SPGEMM_ELL_BUDGET:
-            return _same_format_as(a, _spgemm_device_esc(ca, bcsr, shape, adt))
+            from ..formats.csr import CSR
+
+            acsr = a if isinstance(a, CSR) else a.to_csr()
+            return _same_format_as(
+                a, _spgemm_device_esc(ca, bcsr, shape, adt, acsr=acsr))
 
     bell = b.to_ell(n_cols_per_row=n_cols_per_row_b)
     kb = bell.n_cols_per_row
@@ -159,161 +163,173 @@ _SPGEMM_CHUNK_SLOTS = 1 << 24
 
 
 def _spgemm_device_esc(ca, bcsr, shape, adt, *,
-                       part_slots: int = _SPGEMM_PART_SLOTS):
-    """Partitioned ESC (expand–sort–compress) SpGEMM — the round-3 rebuild
-    of the device path (replaces the per-chunk accumulator re-sort that ran
-    3-4 orders of magnitude below useful throughput).
+                       part_slots: int = _SPGEMM_PART_SLOTS,
+                       acsr=None):
+    """Split-entry uniform-expansion SpGEMM — the v3 device path.
 
-    Plan (one jitted program + small readbacks):
-      * exact per-A-entry fan-out ``cnt`` (the degree of its B row) and
-        exclusive-cumsum offsets — every candidate product has a unique,
-        known position in the virtual fan-out stream of length F;
-      * per-entry *level* = ceil(log2(cnt)): entries are processed grouped
-        by level so each is padded at most 2×, killing both failure modes
-        of the old dual-stream split (per-window re-expansion of heavy
-        entries, and global padding by the max degree);
-      * row-aligned *parts*: the fan-out stream is cut at row boundaries
-        into parts of ≤ ``part_slots`` candidates.  Output rows of distinct
-        parts are disjoint, so per-part results concatenate with NO merge.
+    The v2 "partitioned ESC" grouped A entries by fan-out level and
+    scattered candidates to exact buffer offsets; measured on-chip, it was
+    killed by (a) O(levels × parts) distinct compiled shapes (~25 s per
+    cold remote compile) and (b) per-element XLA scatters (~7.5 ns each).
+    v3 removes both:
 
-    Per part: level-grouped expansion chunks gather B slots straight from
-    CSR (`indices[indptr[k] + slot]` — no materialized B-ELL rectangle) and
-    scatter candidates to their exact offsets in a fixed-size part buffer;
-    then ONE canonical sort + segment-sum dedup compacts the part.  All
-    dispatch shapes are quantized (fixed part size, fixed per-level chunk
-    shapes), so the whole run compiles O(levels) programs regardless of
-    matrix size.  Matches the output semantics of the reference's ``prod``
+      * every A entry (i, k, a_ik) splits into ceil(deg_B(k)/kw) SUB-ENTRIES
+        of uniform width ``kw`` (a power of two chosen to minimize padded
+        slots) — built ON DEVICE (no host↔device traffic);
+      * expansion is a vmapped ``dynamic_slice`` of B's CSR arrays — a
+        gather of CONTIGUOUS kw-wide slices, which XLA executes per-slice
+        rather than per-element — producing the (S, kw) candidate block
+        directly in order: NO scatter exists anywhere in the path;
+      * parts are row-aligned cuts of the sub-entry stream, all padded to
+        ONE static size S, so the whole run compiles exactly one
+        expand+sort+dedup program regardless of matrix size;
+      * duplicate coordinates (adjacent after the canonical sort) are
+        summed by a logarithmic segmented scan (Hillis-Steele doubling:
+        ~log2(max A-row nnz) full-bandwidth vector passes) instead of
+        ``segment_sum`` (measured 0.114 G elem/s — it was the v2 tail).
+
+    Matches the output semantics of the reference's ``prod``
     (src/sparsematrix.rs:186-210) with structural sums retained.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _dbg = bool(_os.environ.get("SPARSEMAT_SPGEMM_DEBUG"))
+
+    def _log(msg):
+        if _dbg:
+            print(f"[spgemm] {msg}", file=_sys.stderr, flush=True)
+
+    _t0 = _time.monotonic()
     n_rows, n_cols = shape
-    nse = ca.nse
-    nnz_b = int(bcsr.indices.shape[0])
-    _blk = 4096
-
-    @jax.jit
-    def _plan(rows, cols, indptr, row_entry_ptr):
-        valid = rows.astype(jnp.int32) < n_rows
-        bcnt = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
-        cnt = jnp.where(valid, bcnt.at[cols.astype(jnp.int32)].get(
-            mode="fill", fill_value=0), 0)
-        off = jnp.cumsum(cnt) - cnt                       # exclusive, int32
-        # ceil(log2(cnt)) for cnt>=1; empty fan-outs get the sentinel level
-        lvl = jnp.where(cnt >= 2,
-                        32 - jax.lax.clz(jnp.maximum(cnt, 2) - 1), 0)
-        lvl = jnp.where(cnt == 0, 31, lvl).astype(jnp.int32)
-        # fan-out summed in int32-safe blocks (int64 truncates without x64)
-        padded = jnp.pad(cnt, (0, -cnt.shape[0] % _blk))
-        fan_blocks = jnp.sum(padded.reshape(-1, _blk), axis=1)
-        # cumulative fan-out at each row boundary (for row-aligned parts)
-        row_fan = (off.at[jnp.minimum(row_entry_ptr, nse - 1)]
-                   .get(mode="clip"))
-        total = off[-1] + cnt[-1]
-        row_fan = jnp.where(row_entry_ptr >= nse, total, row_fan)
-        return cnt, off, lvl, fan_blocks, row_fan
-
     idt = compute_index_dtype(ca.index_dtype)
+    nse = ca.nse
     if nse == 0:
         return COO(rows=jnp.full((1,), n_rows, idt),
                    cols=jnp.zeros((1,), idt),
                    vals=jnp.zeros((1,), adt), shape=shape, canonical=True)
 
-    # entry index of each row start (ca is canonical → rows ascending)
-    from ..formats.base import rows_to_indptr
+    # ---- host-side plan (host-cached CSR arrays only — no device readback
+    # of entry data; the tunnel reads back at ~MB/s) ------------------------
+    indptr_b = bcsr.host("indptr").astype(np.int64)
+    if acsr is not None:
+        indptr_a = acsr.host("indptr").astype(np.int64)
+        indices_a = acsr.host("indices")
+        nnz_a = int(indptr_a[-1])
+        rows_a_h = np.repeat(np.arange(n_rows, dtype=np.int64),
+                             np.diff(indptr_a))
+        cnt_h = np.diff(indptr_b)[indices_a[:nnz_a]]
+    else:  # pragma: no cover - COO input without a CSR view
+        rows_a_h = np.asarray(ca.rows).astype(np.int64)
+        cols_a_h = np.asarray(ca.cols).astype(np.int64)
+        keep = rows_a_h < n_rows
+        rows_a_h, cols_a_h = rows_a_h[keep], cols_a_h[keep]
+        order = np.argsort(rows_a_h, kind="stable")
+        rows_a_h = rows_a_h[order]
+        cnt_h = np.diff(indptr_b)[cols_a_h[order]]
+        nnz_a = rows_a_h.shape[0]
 
-    row_entry_ptr = rows_to_indptr(ca.rows, n_rows, jnp.int32)
-    cnt, off, lvl, fan_blocks, row_fan = _plan(
-        ca.rows, ca.cols, bcsr.indptr, row_entry_ptr)
-    fanout = int(np.asarray(fan_blocks, np.int64).sum())
-    if fanout >= (1 << 31) - (1 << 26):
-        raise NotImplementedError(
-            f"spgemm fan-out {fanout:,} overflows int32 offsets — split the "
-            "left operand by rows and concatenate the products")
+    fanout = int(cnt_h.sum())
     if fanout == 0:
         return COO(rows=jnp.full((1,), n_rows, idt),
                    cols=jnp.zeros((1,), idt),
                    vals=jnp.zeros((1,), adt), shape=shape, canonical=True)
 
-    # ---- part boundaries: greedy row-aligned cuts (device searchsorted,
-    # one scalar readback per part) — each part holds whole rows and at most
-    # ``part_slots`` candidates.  A part must hold its worst row whole, so
-    # grow part_slots if one row's fan-out exceeds it (row alignment is what
-    # lets per-part results concatenate with no merge).
-    max_row_fan = int(jnp.max(row_fan[1:] - row_fan[:-1]))
-    part_slots = max(part_slots, 1 << (max(max_row_fan, 1) - 1).bit_length())
-    part_slots = min(part_slots, 1 << (max(fanout, 1) - 1).bit_length())
-    part_row_bounds = [0]
-    part_off_bounds = [0]
-    while part_off_bounds[-1] < fanout:
-        nxt = int(jnp.searchsorted(
-            row_fan, jnp.asarray(part_off_bounds[-1] + part_slots, jnp.int32),
-            side="right")) - 1
-        nxt = max(nxt, part_row_bounds[-1] + 1)   # progress (≥1 row fits)
-        if part_off_bounds[-1] + part_slots >= fanout:
-            nxt = n_rows
-        part_row_bounds.append(min(nxt, n_rows))
-        part_off_bounds.append(
-            fanout if nxt >= n_rows else int(row_fan[nxt]))
-    part_row_bounds = np.asarray(part_row_bounds)
-    part_off_bounds = np.asarray(part_off_bounds)
-    part_entry_bounds = np.array(
-        row_entry_ptr.at[jnp.asarray(part_row_bounds)].get(mode="clip"))
-    part_entry_bounds[-1] = nse
+    # kw: the power of two minimizing padded candidate slots
+    best_kw, best_slots = 4, None
+    for kw_c in (4, 8, 16, 32, 64, 128):
+        slots = int((-(-cnt_h // kw_c) * kw_c).sum())
+        if best_slots is None or slots < best_slots:
+            best_kw, best_slots = kw_c, slots
+    kw = best_kw
 
-    # ---- level-grouped entry order (device) -------------------------------
-    # per (part, level) counts: key = part * 32 + lvl
-    n_parts = len(part_row_bounds) - 1
-    part_of_entry = jnp.searchsorted(
-        jnp.asarray(part_entry_bounds[1:-1], jnp.int32),
-        jnp.arange(nse, dtype=jnp.int32), side="right")
-    key = part_of_entry * 32 + lvl
-    order = jnp.argsort(key, stable=True)
-    pl_hist = np.asarray(jnp.zeros((n_parts * 32,), jnp.int32).at[key].add(1))
-    pl_starts = np.concatenate([[0], np.cumsum(pl_hist)])
-    # chunk sizes are quantized powers of two, bounded by the entry count —
-    # shapes repeat across parts/levels so compiles stay O(levels)
-    c_cap = min(_SPGEMM_CHUNK_SLOTS, 1 << (max(nse, 1) - 1).bit_length())
-    order_pad = jnp.concatenate(
-        [order.astype(jnp.int32), jnp.full((c_cap,), nse, jnp.int32)])
+    n_sub_e = -(-cnt_h // kw)                       # sub-entries per A entry
+    n_sub = int(n_sub_e.sum())
+    sub_row_h = np.repeat(rows_a_h, n_sub_e)
+    # first sub-entry index of each row (rows ascending) → row-aligned cuts
+    row_sub_ptr = np.zeros(n_rows + 1, np.int64)
+    np.add.at(row_sub_ptr, sub_row_h + 1, 1)
+    row_sub_ptr = np.cumsum(row_sub_ptr)
+    max_row_sub = int(np.diff(row_sub_ptr).max(initial=1))
 
-    a_rows = jnp.where(ca.rows.astype(jnp.int32) < n_rows,
-                       ca.rows.astype(jnp.int32), n_rows)
-    a_cols = ca.cols.astype(jnp.int32)
-    a_vals = ca.vals.astype(adt)
-    b_start = bcsr.indptr[:-1].astype(jnp.int32)
+    s_part = max(part_slots // kw, max_row_sub, 1)
+    s_part = 1 << (s_part - 1).bit_length()
+    s_part = min(s_part, 1 << (max(n_sub, 1) - 1).bit_length())
+    s_part = max(s_part, max_row_sub)
+    cuts = [0]
+    while cuts[-1] < n_sub:
+        hi = cuts[-1] + s_part
+        if hi >= n_sub:
+            cuts.append(n_sub)
+            break
+        # largest row boundary ≤ hi (≥ one row fits: s_part ≥ max_row_sub)
+        r_hi = int(np.searchsorted(row_sub_ptr, hi, side="right")) - 1
+        cut = int(row_sub_ptr[r_hi])
+        cuts.append(max(cut, cuts[-1] + 1))
+    n_parts = len(cuts) - 1
+
+    # duplicate-run bound: contributions to one (i, j) ≤ nnz of A row i
+    max_dup = int(np.diff(indptr_a).max(initial=1)) if acsr is not None \
+        else int(np.bincount(rows_a_h, minlength=1).max(initial=1))
+    dedup_iters = max(int(np.ceil(np.log2(max(max_dup, 2)))), 1)
+
+    _log(f"plan: fanout {fanout:,} → {best_slots:,} slots (kw={kw}), "
+         f"{n_sub:,} sub-entries, {n_parts} parts × {s_part:,}, "
+         f"dedup_iters {dedup_iters}, plan wall {_time.monotonic()-_t0:.1f}s")
+
+    # ---- device-side sub-entry arrays (one jitted build) ------------------
+    a_rows_d = jnp.where(ca.rows.astype(jnp.int32) < n_rows,
+                         ca.rows.astype(jnp.int32), n_rows)
+    sub_eid = jnp.asarray(np.repeat(
+        np.arange(nnz_a, dtype=np.int32), n_sub_e))
+    sub_j = jnp.asarray(
+        (np.arange(n_sub, dtype=np.int64)
+         - np.repeat(np.concatenate([[0], np.cumsum(n_sub_e)[:-1]]), n_sub_e)
+         ).astype(np.int32))
+
+    @jax.jit
+    def _build_subs(eid, j, rows_d, cols_d, vals_d, indptr_b_d):
+        ar = rows_d.at[eid].get(mode="fill", fill_value=n_rows)
+        ak = cols_d.at[eid].get(mode="fill", fill_value=0).astype(jnp.int32)
+        av = vals_d.at[eid].get(mode="fill", fill_value=0)
+        start = indptr_b_d.at[ak].get(mode="fill", fill_value=0)
+        deg = (indptr_b_d.at[ak + 1].get(mode="fill", fill_value=0) - start)
+        return (ar, av.astype(adt),
+                (start + j * kw).astype(jnp.int32),
+                (deg - j * kw).astype(jnp.int32))
+
+    sub_row, sub_val, sub_start, sub_rem = _build_subs(
+        sub_eid, sub_j, a_rows_d, ca.cols, ca.vals, bcsr.indptr.astype(jnp.int32))
+
+    # pad the sub streams to n_parts × s_part (pad sub-entries: rem ≤ 0)
+    pad = n_parts * s_part - n_sub
+    if pad:
+        sub_row = jnp.concatenate([sub_row, jnp.full((pad,), n_rows, sub_row.dtype)])
+        sub_val = jnp.concatenate([sub_val, jnp.zeros((pad,), sub_val.dtype)])
+        sub_start = jnp.concatenate([sub_start, jnp.zeros((pad,), jnp.int32)])
+        sub_rem = jnp.concatenate([sub_rem, jnp.zeros((pad,), jnp.int32)])
+
+    b_idx_pad = jnp.concatenate(
+        [bcsr.indices.astype(jnp.int32), jnp.zeros((kw,), jnp.int32)])
+    b_val_pad = jnp.concatenate(
+        [bcsr.data, jnp.zeros((kw,), bcsr.data.dtype)])
 
     out_r, out_c, out_v = [], [], []
     for p in range(n_parts):
-        base = int(part_off_bounds[p])
-        psize = int(part_off_bounds[p + 1]) - base
-        buf_r = jnp.full((part_slots,), n_rows, jnp.int32)
-        buf_c = jnp.zeros((part_slots,), jnp.int32)
-        buf_v = jnp.zeros((part_slots,), jnp.dtype(adt))
-        for l in range(31):                       # level 31 = empty fan-out
-            n_pl = int(pl_hist[p * 32 + l])
-            if n_pl == 0:
-                continue
-            kw = 1 << l
-            # chunk width: the dispatch slot budget, or a fixed mini-chunk
-            # for sparse levels — otherwise a 200-entry level at kw=4096
-            # would pay a full 2^24-slot dispatch of gather/scatter work.
-            # Exactly TWO shape choices per level keep the remote-compile
-            # count bounded (each cold compile costs ~25 s on this platform).
-            full = max(min(_SPGEMM_CHUNK_SLOTS // kw, c_cap), 1)
-            mini = max(min(4096, full), 1)
-            c_chunk = mini if n_pl <= mini else full
-            s0 = int(pl_starts[p * 32 + l])
-            for s in range(s0, s0 + n_pl, c_chunk):
-                buf_r, buf_c, buf_v = _esc_expand_chunk(
-                    buf_r, buf_c, buf_v, order_pad, jnp.asarray(s, jnp.int32),
-                    a_rows, a_cols, a_vals, cnt, off,
-                    jnp.asarray(base, jnp.int32),
-                    jnp.asarray(psize, jnp.int32),
-                    b_start, bcsr.indices, bcsr.data,
-                    kw=kw, c=c_chunk, part_slots=part_slots,
-                    n_rows=n_rows, adt=jnp.dtype(adt))
-        r, c, v, nu = _esc_finalize(buf_r, buf_c, buf_v, shape=shape,
-                                    adt=jnp.dtype(adt))
+        lo, hi = cuts[p], cuts[p + 1]
+        _tp = _time.monotonic()
+        r, c, v, nu = _esc3_part(
+            jax.lax.dynamic_slice(sub_row, (lo,), (s_part,)),
+            jax.lax.dynamic_slice(sub_val, (lo,), (s_part,)),
+            jax.lax.dynamic_slice(sub_start, (lo,), (s_part,)),
+            # sub-entries past this part's end are disabled via rem=0
+            jnp.where(jnp.arange(s_part) < hi - lo,
+                      jax.lax.dynamic_slice(sub_rem, (lo,), (s_part,)), 0),
+            b_idx_pad, b_val_pad,
+            kw=kw, n_rows=n_rows, adt=jnp.dtype(adt),
+            dedup_iters=dedup_iters)
         nu = int(nu)                               # one scalar readback/part
+        _log(f"part {p}: {_time.monotonic()-_tp:.2f}s, {nu:,} unique")
         out_r.append(r[:max(nu, 1)])
         out_c.append(c[:max(nu, 1)])
         out_v.append(v[:max(nu, 1)])
@@ -324,52 +340,52 @@ def _spgemm_device_esc(ca, bcsr, shape, adt, *,
         rows = jnp.concatenate(out_r)
         cols = jnp.concatenate(out_c)
         vals = jnp.concatenate(out_v)
-    idt = compute_index_dtype(ca.index_dtype)
+    _log(f"total {_time.monotonic()-_t0:.2f}s, out nse {int(rows.shape[0]):,}")
     return COO(rows=rows.astype(idt), cols=cols.astype(idt), vals=vals,
                shape=shape, canonical=True)
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2),
-         static_argnames=("kw", "c", "part_slots", "n_rows", "adt"))
-def _esc_expand_chunk(buf_r, buf_c, buf_v, order_pad, s,
-                      a_rows, a_cols, a_vals, cnt, off, base, psize,
-                      b_start, b_indices, b_data, *,
-                      kw, c, part_slots, n_rows, adt):
-    """Expand one level-chunk of A entries (each with fan-out ≤ kw) against
-    B rows gathered straight from CSR, scattering the candidates to their
-    exact offsets in the donated part buffers.  A chunk may overrun into the
-    next (part, level) group's entries: same-part overruns re-write identical
-    values at identical positions (idempotent), other-part candidates are
-    masked out by the ``psize`` bound."""
-    e = jax.lax.dynamic_slice(order_pad, (s,), (c,))       # entry ids (pad=nse)
-    ar = a_rows.at[e].get(mode="fill", fill_value=n_rows)  # (c,)
-    ak = a_cols.at[e].get(mode="fill", fill_value=0)
-    av = a_vals.at[e].get(mode="fill", fill_value=0)
-    ce = cnt.at[e].get(mode="fill", fill_value=0)
-    oe = off.at[e].get(mode="fill", fill_value=0)
-    slot = jnp.arange(kw, dtype=jnp.int32)[None, :]        # (1, kw)
-    valid = (slot < ce[:, None]) & (ar[:, None] < n_rows)
-    src = b_start.at[ak].get(mode="fill", fill_value=0)[:, None] + slot
-    bc = b_indices.at[jnp.where(valid, src, 0)].get(mode="fill", fill_value=0)
-    bv = b_data.at[jnp.where(valid, src, 0)].get(mode="fill", fill_value=0)
-    rel = oe[:, None] - base + slot
-    valid = valid & (rel >= 0) & (rel < psize)
-    pos = jnp.where(valid, rel, part_slots).reshape(-1)
-    rows = jnp.broadcast_to(ar[:, None], (c, kw)).reshape(-1)
-    cols = bc.astype(jnp.int32).reshape(-1)
-    vals = (av[:, None] * bv.astype(adt)).reshape(-1)
-    # positions are exact and disjoint; out-of-part positions drop
-    buf_r = buf_r.at[pos].set(rows, mode="drop")
-    buf_c = buf_c.at[pos].set(cols, mode="drop")
-    buf_v = buf_v.at[pos].set(vals, mode="drop")
-    return buf_r, buf_c, buf_v
+@partial(jax.jit, static_argnames=("kw", "n_rows", "adt", "dedup_iters"))
+def _esc3_part(sub_row, sub_val, sub_start, sub_rem, b_idx, b_val, *,
+               kw, n_rows, adt, dedup_iters):
+    """Expand one part's sub-entries (slice-gather from B's CSR), sort the
+    candidates, sum duplicate runs by segmented doubling, compact."""
+    s = sub_row.shape[0]
 
+    slice_fn = jax.vmap(
+        lambda st: (jax.lax.dynamic_slice(b_idx, (st,), (kw,)),
+                    jax.lax.dynamic_slice(b_val, (st,), (kw,))))
+    bc, bv = slice_fn(jnp.maximum(sub_start, 0))
+    valid = (jnp.arange(kw, dtype=jnp.int32)[None, :] < sub_rem[:, None]) \
+        & (sub_row[:, None] < n_rows)
+    rows = jnp.where(valid, sub_row[:, None], n_rows).reshape(-1)
+    cols = jnp.where(valid, bc, 0).reshape(-1)
+    vals = jnp.where(valid, sub_val[:, None] * bv.astype(adt), 0).reshape(-1)
 
-@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("shape", "adt"))
-def _esc_finalize(buf_r, buf_c, buf_v, *, shape, adt):
-    """Canonical sort + segment-sum dedup of one expanded part."""
-    r, c, v = sort_coo(buf_r, buf_c, buf_v.astype(adt), shape)
-    return dedup_sorted_coo(r, c, v, shape)
+    r, c, v = sort_coo(rows, cols, vals, (n_rows, 0))
+    nse = r.shape[0]
+    pos = jnp.arange(nse, dtype=jnp.int32)
+
+    # segmented inclusive scan (Hillis-Steele): after the last pass each
+    # run's LAST element holds the run total
+    same_prev = (r == jnp.roll(r, 1)) & (c == jnp.roll(c, 1)) & (pos >= 1)
+    acc, f = v, same_prev
+    for i in range(dedup_iters):
+        d = 1 << i
+        acc = acc + jnp.where(f, jnp.roll(acc, d), 0)
+        f = f & jnp.roll(f, d) & (pos >= 2 * d)
+    is_last = jnp.concatenate(
+        [(r[1:] != r[:-1]) | (c[1:] != c[:-1]),
+         jnp.ones((1,), bool)])
+    live = is_last & (r < n_rows)
+    # compact survivors by scatter to their rank (padding → one tail slot)
+    rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+    dst = jnp.where(live, rank, nse)
+    out_r = jnp.full((nse,), n_rows, jnp.int32).at[dst].set(r, mode="drop")
+    out_c = jnp.zeros((nse,), jnp.int32).at[dst].set(c, mode="drop")
+    out_v = jnp.zeros((nse,), v.dtype).at[dst].set(acc, mode="drop")
+    n_unique = jnp.sum(live).astype(jnp.int32)
+    return out_r, out_c, out_v, n_unique
 
 
 def _spgemm_oneshot(ca, bell, shape, kb, adt):

@@ -150,9 +150,16 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
 
             return dia_spmv_pallas(dia, x)
         return dia_spmv(dia, x)
-    from ..formats.slab import SlabELL, SlabPack
+    from ..formats.slab import SlabELL, SlabPack, SlabStream
     from ..formats.well import WELL
 
+    if isinstance(mat, SlabStream) or method == "slab_stream":
+        from ..kernels.spmv import slab_stream_spmv_pallas, slab_stream_spmv_xla
+
+        st = mat if isinstance(mat, SlabStream) else mat.to_slab_stream()
+        if _on_tpu() and st.vmem_resident_bytes() <= 8 * 1024 * 1024:
+            return slab_stream_spmv_pallas(st, x)
+        return slab_stream_spmv_xla(st, x)
     if isinstance(mat, SlabPack) or method == "slab_pack":
         from ..kernels.spmv import slab_pack_spmv_pallas, slab_pack_spmv_xla
 

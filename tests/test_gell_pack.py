@@ -127,3 +127,56 @@ def test_gell_spmm_and_empty_rows():
     Y = np.asarray(smt.spmm(g, jnp.asarray(B)))
     refY = m @ B
     np.testing.assert_allclose(Y, refY, atol=1e-4 * max(np.abs(refY).max(), 1))
+
+
+# --- SlabStream: flat chunk stream with exact per-bucket heights --------------
+
+def test_slab_stream_spmv_matches_scipy():
+    from sparsemat_tpu.kernels.spmv import (slab_stream_spmv_pallas,
+                                            slab_stream_spmv_xla)
+    m = mixed_degree()
+    st = smt.SlabStream.from_csr(smt.CSR.from_scipy(m))
+    x = np.random.default_rng(20).standard_normal(m.shape[1]).astype(np.float32)
+    ref = m @ x
+    nrm = np.abs(ref).max()
+    y = np.asarray(slab_stream_spmv_xla(st, jnp.asarray(x)))
+    np.testing.assert_allclose(y / nrm, ref / nrm, atol=1e-5)
+    y2 = np.asarray(slab_stream_spmv_pallas(st, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y2 / nrm, ref / nrm, atol=1e-5)
+    y3 = np.asarray(smt.spmv(st, jnp.asarray(x)))
+    np.testing.assert_allclose(y3 / nrm, ref / nrm, atol=1e-5)
+
+
+def test_slab_stream_beats_global_padding():
+    m = mixed_degree(seed=21)
+    csr = smt.CSR.from_scipy(m)
+    st = csr.to_slab_stream()
+    # exact per-bucket heights ≤ the global-max heights at the same rb
+    # (SlabPack may beat either on adversarial mixes — it can also spill)
+    assert st.nse <= csr.to_slab().nse
+    assert (csr.to_slab_stream(rb=128).nse
+            <= smt.SlabPack.from_csr(csr, spill_frac=0.0).nse)
+
+
+def test_slab_stream_roundtrip_and_counts():
+    m = mixed_degree(n=1100, seed=22)
+    st = smt.SlabStream.from_csr(smt.CSR.from_scipy(m), rb=128)
+    c2 = st.to_csr()
+    m2 = sp.csr_matrix((np.asarray(c2.data), np.asarray(c2.indices),
+                        np.asarray(c2.indptr)), shape=st.shape)
+    assert (m2 - m).nnz == 0
+    assert int(np.asarray(st.n_non_zero_entries())) == m.nnz
+    # multi-call split path: force a tiny per-call chunk bound
+    import sparsemat_tpu.kernels.spmv as ks
+    old = ks._STREAM_MAX_CHUNKS_PER_CALL
+    ks._STREAM_MAX_CHUNKS_PER_CALL = 32
+    try:
+        from sparsemat_tpu.kernels.spmv import slab_stream_spmv_pallas
+        x = np.random.default_rng(23).standard_normal(
+            m.shape[1]).astype(np.float32)
+        y = np.asarray(slab_stream_spmv_pallas(st, jnp.asarray(x),
+                                               interpret=True))
+        ref = m @ x
+        np.testing.assert_allclose(y, ref, atol=1e-4 * np.abs(ref).max())
+    finally:
+        ks._STREAM_MAX_CHUNKS_PER_CALL = old

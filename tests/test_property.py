@@ -11,7 +11,7 @@ import scipy.sparse as sp
 import sparsemat_tpu as smt
 
 FORMATS = ["coo", "csr", "ell", "sell", "dia", "well", "slab", "slab_pack",
-           "gell", "bsr"]
+           "slab_stream", "gell", "bsr"]
 
 
 def rand_sparse(n_rows, n_cols, density, seed, dtype=np.float32):
@@ -28,6 +28,7 @@ def to_format(csr_scipy, fmt):
         "sell": A.to_sell, "dia": A.to_dia, "well": A.to_well,
         "slab": A.to_slab,
         "slab_pack": lambda: A.to_slab_pack(n_classes=4),
+        "slab_stream": A.to_slab_stream,
         "gell": A.to_gell,
         "bsr": lambda: smt.BSR.from_csr(A),
     }[fmt]()
