@@ -341,6 +341,9 @@ def slab_stream_spmv_pallas(st: SlabStream, x: jax.Array, *,
     g8 = max(_STREAM_STEP_BYTES // (SUBLANE * rb * 8), 1)
 
     def kernel(win_ref, blk_ref, vals_ref, lidx_ref, x_ref, o_ref):
+        # o_ref is ((n_rb+1)*nlc, 128): every dynamic access is a FULL
+        # lane-width (1, 128) row — Mosaic rejects dynamic sublane loads
+        # combined with partial lane slices ("unaligned indices")
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -357,8 +360,8 @@ def slab_stream_spmv_pallas(st: SlabStream, x: jax.Array, *,
                 v = vals_ref[g, :, j * 128:(j + 1) * 128]
                 gsel = jnp.take_along_axis(xb, li, axis=1)
                 contrib = jnp.sum(v * gsel, axis=0, keepdims=True)  # (1, 128)
-                cur = o_ref[pl.ds(b, 1), j * 128:(j + 1) * 128]
-                o_ref[pl.ds(b, 1), j * 128:(j + 1) * 128] = cur + contrib
+                k = b * nlc + j
+                o_ref[pl.ds(k, 1), :] = o_ref[pl.ds(k, 1), :] + contrib
 
     n = st.n_chunks
     outs = []
@@ -384,12 +387,14 @@ def slab_stream_spmv_pallas(st: SlabStream, x: jax.Array, *,
                 pl.BlockSpec((g8, SUBLANE, rb), lambda i, wr, br: (i, 0, 0)),
                 pl.BlockSpec((n_win, SLAB_WINDOW), lambda i, wr, br: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((n_rb + 1, rb), lambda i, wr, br: (0, 0)),
+            out_specs=pl.BlockSpec(((n_rb + 1) * nlc, SLAB_WINDOW),
+                                   lambda i, wr, br: (0, 0)),
         )
         y = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_rb + 1, rb), adt),
+            out_shape=jax.ShapeDtypeStruct(((n_rb + 1) * nlc, SLAB_WINDOW),
+                                           adt),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * nc_pad * SUBLANE * rb,
@@ -402,4 +407,4 @@ def slab_stream_spmv_pallas(st: SlabStream, x: jax.Array, *,
     y = outs[0]
     for extra in outs[1:]:
         y = y + extra
-    return y[:n_rb].reshape(-1)[:n_rows]
+    return y[: n_rb * nlc].reshape(-1)[:n_rows]
