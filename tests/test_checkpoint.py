@@ -16,8 +16,11 @@ def random_csr(n=48, density=0.15, seed=0):
     return smt.CSR.from_scipy(sp.csr_matrix(dense)), dense
 
 
-@pytest.mark.parametrize("fmt", ["coo", "csr", "ell", "sell", "dia", "well"])
+@pytest.mark.parametrize("fmt", ["coo", "csr", "ell", "sell", "dia", "well",
+                                 "gell", "slab", "slab_pack", "slab_stream"])
 def test_matrix_roundtrip(fmt, tmp_path):
+    """Round-trip EVERY frozen format, including the nested ones
+    (SlabPack.parts / GELL.levels are tuples of format dataclasses)."""
     csr, dense = random_csr()
     mat = getattr(csr, f"to_{fmt}")() if fmt != "csr" else csr
     p = str(tmp_path / f"m_{fmt}.npz")
@@ -25,6 +28,28 @@ def test_matrix_roundtrip(fmt, tmp_path):
     back = checkpoint.load_matrix(p)
     assert type(back) is type(mat)
     assert back.shape == mat.shape
+    np.testing.assert_allclose(np.asarray(back.todense()), dense, rtol=1e-6)
+
+
+def test_slab_pack_overflow_roundtrip(tmp_path):
+    """SlabPack with a non-None recursive ``overflow`` (spilled entries)
+    must survive the round trip — the r3 formats the bench wins with."""
+    from sparsemat_tpu.formats.slab import SlabPack
+
+    rng = np.random.default_rng(7)
+    n = 512
+    # one deep-occupancy row per block forces bucket-height spilling
+    dense = np.zeros((n, n), np.float32)
+    mask = rng.random((n, n)) < 0.01
+    dense[mask] = rng.standard_normal(int(mask.sum())).astype(np.float32)
+    dense[5, :200] = 1.5  # deep row → spill candidates
+    csr = smt.CSR.from_scipy(sp.csr_matrix(dense))
+    pack = SlabPack.from_csr(csr, rb=128, n_classes=2, spill_frac=0.3)
+    assert pack.overflow is not None, "fixture no longer exercises overflow"
+    p = str(tmp_path / "m_spill.npz")
+    checkpoint.save_matrix(p, pack)
+    back = checkpoint.load_matrix(p)
+    assert type(back) is SlabPack and back.overflow is not None
     np.testing.assert_allclose(np.asarray(back.todense()), dense, rtol=1e-6)
 
 
