@@ -352,32 +352,37 @@ class DistCSRSubset:
     operand (O(n) interconnect traffic per SpMV, ``DistCSR``), each device
     sends every peer ONLY the x entries that peer's rows actually
     reference.  The needed-column sets are computed once at distribute
-    time; the runtime exchange is one ``lax.all_to_all`` of
-    (n_dev, m_max) values — traffic ∝ boundary size, not n.
+    time.
 
-    ``send_idx``: (n_dev, n_dev, m_max) — device d's row p lists the local
-    x indices d must ship to peer p (padded with 0; receivers never
-    reference padding slots).  ``indices``: (n_dev, nnz_max) LOCAL
-    renumbered column ids: ``[0, r)`` = own shard, ``r + d*m_max + pos`` =
-    slot pos of the subset received from device d.
+    Exchange structure (round-4 verdict #8): n_dev−1 ``lax.ppermute``
+    hops — hop k ships device d's subset for peer (d+k) mod n_dev.  SPMD
+    forces a uniform payload per HOP, but each hop pads only to ITS OWN
+    max, so one skewed pair inflates one hop instead of every pair (the
+    old single all_to_all padded all n·(n−1) slots to the global max).
+
+    ``send_idx[k]``: (n_dev, m_k) — local x indices device d ships on hop
+    k (pad 0; receivers never reference padding).  ``indices``: (n_dev,
+    nnz_max) LOCAL renumbered columns: ``[0, r)`` = own shard,
+    ``r + hop_off[k] + pos`` = slot pos of hop k's received subset.
 
     Completed successor of the reference's unrealized parallel mvp
     (src/sparsemat_par.rs:37-68), in the spirit of BASELINE config 5's
     "halo exchange overlapped with local SpMV".
     """
 
-    send_idx: jax.Array = array_field()
+    send_idx: Tuple[jax.Array, ...] = array_field()
     indices: jax.Array = array_field()
     data: jax.Array = array_field()
     local_rows: jax.Array = array_field()
     shape: Tuple[int, int] = static_field()
     axis: str = static_field()
-    m_max: int = static_field()
+    #: per-hop subset slot count (len n_dev-1; hop k ↔ peer (d+k) % n_dev)
+    hop_m: Tuple[int, ...] = static_field()
     rpb: int = static_field()
 
     @property
     def n_blocks(self) -> int:
-        return int(self.send_idx.shape[0])
+        return int(self.indices.shape[0])
 
     @property
     def rows_per_block(self) -> int:
@@ -391,11 +396,11 @@ class DistCSRSubset:
     unpad = DistDIA.unpad
 
     def exchange_bytes_per_spmv(self) -> int:
-        """Interconnect payload per SpMV (excl. the self-row, which stays
-        local): (n_dev-1) subsets of m_max values per device."""
+        """Interconnect payload per SpMV: Σ_hops n_dev·m_k values — each
+        hop padded to its own max consumer, so traffic tracks the actual
+        boundary profile instead of n²·(worst pair)."""
         n = self.n_blocks
-        return n * (n - 1) * self.m_max * int(
-            jnp.dtype(self.data.dtype).itemsize)
+        return n * sum(self.hop_m) * int(jnp.dtype(self.data.dtype).itemsize)
 
     def matvec(self, x: jax.Array, mesh: Mesh) -> jax.Array:
         return dist_csr_subset_spmv(self, x, mesh)
@@ -427,10 +432,20 @@ def distribute_csr_subset(csr, mesh: Mesh, axis: str = ROWS_AXIS
                     cols_b[owners == d] - d * r)
         block_entries.append((lo, hi, s, e, cols_b, owners))
 
-    m_max = max([v.size for v in needed.values()] + [1])
-    send_idx = np.zeros((n_dev, n_dev, m_max), np.int32)
-    for (d, b), v in needed.items():
-        send_idx[d, b, : v.size] = v
+    # hop k carries owner d → consumer (d+k) % n_dev; pad to the HOP max
+    hop_m = []
+    send_idx = []
+    for k in range(1, n_dev):
+        mk = max([needed.get((d, (d + k) % n_dev), _EMPTY_I64).size
+                  for d in range(n_dev)] + [1])
+        sk = np.zeros((n_dev, mk), np.int32)
+        for d in range(n_dev):
+            v = needed.get((d, (d + k) % n_dev))
+            if v is not None:
+                sk[d, : v.size] = v
+        hop_m.append(mk)
+        send_idx.append(sk)
+    hop_off = np.concatenate([[0], np.cumsum(hop_m)]).astype(np.int64)
 
     nnz_max = max(max((e - s) for (_, _, s, e, _, _) in block_entries), 1)
     indices_b = np.zeros((n_dev, nnz_max), np.int32)
@@ -443,41 +458,43 @@ def distribute_csr_subset(csr, mesh: Mesh, axis: str = ROWS_AXIS
         for d in np.unique(owners):
             if d == b:
                 continue
+            k = (b - d) % n_dev          # hop that delivers owner d → b
             sel = owners == d
             pos = np.searchsorted(needed[(int(d), b)], cols_b[sel] - d * r)
-            local[sel] = r + d * m_max + pos
+            local[sel] = r + hop_off[k - 1] + pos
         indices_b[b, : e - s] = local
         data_b[b, : e - s] = data[s:e]
         lrows_b[b, : e - s] = np.repeat(
             np.arange(hi - lo, dtype=np.int32), np.diff(indptr[lo:hi + 1]))
 
     spec2 = NamedSharding(mesh, P(axis, None))
-    spec3 = NamedSharding(mesh, P(axis, None, None))
     return DistCSRSubset(
-        send_idx=jax.device_put(send_idx, spec3),
+        send_idx=tuple(jax.device_put(sk, spec2) for sk in send_idx),
         indices=jax.device_put(indices_b, spec2),
         data=jax.device_put(data_b, spec2),
         local_rows=jax.device_put(lrows_b, spec2),
-        shape=csr.shape, axis=axis, m_max=m_max, rpb=r)
+        shape=csr.shape, axis=axis, hop_m=tuple(hop_m), rpb=r)
+
+
+_EMPTY_I64 = np.zeros(0, np.int64)
 
 
 def dist_csr_subset_spmv(mat: DistCSRSubset, x: jax.Array,
                          mesh: Mesh) -> jax.Array:
-    """y = A @ x with subset exchange: gather own contributions for every
-    peer, one all_to_all, then a purely local gather + scatter-add."""
+    """y = A @ x with subset exchange: per hop, gather the entries the
+    k-ahead peer needs and ``ppermute`` them; then a purely local gather +
+    scatter-add over the renumbered columns."""
     axis = mat.axis
     n_dev = mat.n_blocks
-    m = mat.m_max
 
-    def local(send_blk, indices_blk, data_blk, lrows_blk, x_blk):
+    def local(indices_blk, data_blk, lrows_blk, x_blk, *send_blks):
         r = x_blk.shape[0]
-        mine = x_blk.at[send_blk[0]].get(mode="fill", fill_value=0)
-        if n_dev > 1:
-            recv = jax.lax.all_to_all(
-                mine, axis, split_axis=0, concat_axis=0, tiled=True)
-        else:
-            recv = mine
-        xl = jnp.concatenate([x_blk, recv.reshape(-1)])
+        parts = [x_blk]
+        for k, sk in enumerate(send_blks, start=1):
+            mine = x_blk.at[sk[0]].get(mode="fill", fill_value=0)
+            perm = [(d, (d + k) % n_dev) for d in range(n_dev)]
+            parts.append(jax.lax.ppermute(mine, axis, perm))
+        xl = jnp.concatenate(parts) if len(parts) > 1 else x_blk
         adt = accum_dtype(jnp.result_type(data_blk.dtype, x_blk.dtype))
         prod = data_blk[0].astype(adt) * xl.at[indices_blk[0]].get(
             mode="fill", fill_value=0).astype(adt)
@@ -486,10 +503,10 @@ def dist_csr_subset_spmv(mat: DistCSRSubset, x: jax.Array,
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
-                  P(axis, None), P(axis)),
-        out_specs=P(axis))(mat.send_idx, mat.indices, mat.data,
-                           mat.local_rows, x)
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis))
+        + tuple(P(axis, None) for _ in mat.send_idx),
+        out_specs=P(axis))(mat.indices, mat.data, mat.local_rows, x,
+                           *mat.send_idx)
 
 
 # --- DistSlab ----------------------------------------------------------------
