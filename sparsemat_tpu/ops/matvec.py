@@ -33,6 +33,15 @@ def _on_tpu() -> bool:
     return "tpu" in d.platform.lower() or "TPU" in getattr(d, "device_kind", "")
 
 
+def _pallas_ok() -> bool:
+    """Pallas dispatch gate.  Mosaic lowering recurses infinitely in its
+    dtype-convert helper when ``jax_enable_x64`` is on (measured on the axon
+    v5e stack: RecursionError inside ``_convert_helper`` while lowering an
+    all-f32 kernel) — and the kernels are f32-only anyway, so x64 sessions
+    route to the XLA formulations."""
+    return _on_tpu() and not jax.config.jax_enable_x64
+
+
 def _check_dims(mat, x, what="spmv"):
     if x.shape[0] != mat.shape[1]:
         raise ValueError(
@@ -144,20 +153,29 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
         return spmv_pallas(mat, x)
     if isinstance(mat, DIA) or method in ("dia", "dia_xla"):
         dia = mat if isinstance(mat, DIA) else mat.to_dia()
-        if (_on_tpu() and dia.data.dtype == jnp.float32
+        if (_pallas_ok() and dia.data.dtype == jnp.float32
                 and x.dtype == jnp.float32 and method != "dia_xla"):
             from ..kernels.dia import dia_spmv_pallas
 
             return dia_spmv_pallas(dia, x)
         return dia_spmv(dia, x)
+    from ..formats.route import RouteStream
     from ..formats.slab import SlabELL, SlabPack, SlabStream
     from ..formats.well import WELL
 
+    if isinstance(mat, RouteStream) or method == "route":
+        from ..kernels.route import route_spmv_pallas, route_spmv_xla
+
+        rs = mat if isinstance(mat, RouteStream) else mat.to_route()
+        if (_pallas_ok() and rs.vmem_resident_bytes() <= 8 * 1024 * 1024
+                and rs.a_vals.dtype == jnp.float32):
+            return route_spmv_pallas(rs, x)
+        return route_spmv_xla(rs, x)
     if isinstance(mat, SlabStream) or method == "slab_stream":
         from ..kernels.spmv import slab_stream_spmv_pallas, slab_stream_spmv_xla
 
         st = mat if isinstance(mat, SlabStream) else mat.to_slab_stream()
-        if _on_tpu() and st.vmem_resident_bytes() <= 8 * 1024 * 1024:
+        if _pallas_ok() and st.vmem_resident_bytes() <= 8 * 1024 * 1024:
             return slab_stream_spmv_pallas(st, x)
         return slab_stream_spmv_xla(st, x)
     if isinstance(mat, SlabPack) or method == "slab_pack":
@@ -165,7 +183,7 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
 
         pk = mat if isinstance(mat, SlabPack) else mat.to_slab_pack()
         vmem_need = pk.x_bytes() + 4 * pk.max_part_tile_bytes()
-        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
+        if _pallas_ok() and vmem_need <= 12 * 1024 * 1024:
             return slab_pack_spmv_pallas(pk, x)
         return slab_pack_spmv_xla(pk, x)
     if isinstance(mat, SlabELL) or method == "slab":
@@ -174,14 +192,14 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
         sl = mat if isinstance(mat, SlabELL) else mat.to_slab()
         # VMEM guard: resident x windows + one double-buffered tile pair
         vmem_need = sl.x_bytes() + 4 * sl.c_total * sl.row_block * 8
-        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
+        if _pallas_ok() and vmem_need <= 12 * 1024 * 1024:
             return slab_spmv_pallas(sl, x)
         return slab_spmv_xla(sl, x)
     if isinstance(mat, WELL) or method == "well":
         from ..kernels.spmv import well_spmv_pallas, well_spmv_xla
 
         well = mat if isinstance(mat, WELL) else mat.to_well()
-        if _on_tpu():
+        if _pallas_ok():
             return well_spmv_pallas(well, x)
         return well_spmv_xla(well, x)
     from ..formats.gell import GELL
@@ -214,7 +232,7 @@ def spmv_chain(mat, x, k: int) -> jax.Array:
     _check_dims(mat, x, "spmv_chain")
     if mat.shape[0] != mat.shape[1]:
         raise ValueError(f"spmv_chain needs a square matrix, got {mat.shape}")
-    if (isinstance(mat, DIA) and _on_tpu()
+    if (isinstance(mat, DIA) and _pallas_ok()
             and mat.data.dtype == jnp.float32 and x.dtype == jnp.float32):
         from ..kernels.dia import dia_spmv_chain_pallas
 
@@ -235,7 +253,7 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
         from ..kernels.spmm import bsr_spmm_pallas, bsr_spmm_xla
 
         bsr = mat if isinstance(mat, BSR) else BSR.from_csr(mat.to_csr())
-        return (bsr_spmm_pallas(bsr, B) if _on_tpu() else bsr_spmm_xla(bsr, B))
+        return (bsr_spmm_pallas(bsr, B) if _pallas_ok() else bsr_spmm_xla(bsr, B))
     if isinstance(mat, DIA) or method == "dia":
         dia = mat if isinstance(mat, DIA) else mat.to_dia()
         return dia_spmm(dia, B)
@@ -243,23 +261,23 @@ def spmm(mat, B, *, method: str | None = None) -> jax.Array:
 
     if isinstance(mat, SlabPack) or method == "slab_pack":
         pk = mat if isinstance(mat, SlabPack) else mat.to_slab_pack()
-        vmem_need = pk.x_bytes() + 4 * pk.max_part_tile_bytes()
-        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
-            from ..kernels.spmv import slab_pack_spmv_pallas
+        vmem_need = (4 * pk.max_part_tile_bytes()
+                     + 8 * 1024 * 1024)  # resident B column group budget
+        if _pallas_ok() and vmem_need <= 15 * 1024 * 1024:
+            from ..kernels.spmm import slab_pack_spmm_pallas
 
-            return jax.vmap(lambda col: slab_pack_spmv_pallas(pk, col),
-                            in_axes=1, out_axes=1)(B)
+            # blocked-RHS kernel: matrix tiles stream once per mc-column
+            # group instead of once per column (r3's vmapped sweep re-read
+            # the matrix ~128× at m=128)
+            return slab_pack_spmm_pallas(pk, B)
         return spmm(pk.to_csr(), B, method=None)
     if isinstance(mat, SlabELL) or method == "slab":
         sl = mat if isinstance(mat, SlabELL) else mat.to_slab()
-        vmem_need = sl.x_bytes() + 4 * sl.c_total * sl.row_block * 8
-        if _on_tpu() and vmem_need <= 12 * 1024 * 1024:
-            from ..kernels.spmv import slab_spmv_pallas
+        vmem_need = 4 * sl.c_total * sl.row_block * 8 + 8 * 1024 * 1024
+        if _pallas_ok() and vmem_need <= 15 * 1024 * 1024:
+            from ..kernels.spmm import slab_spmm_pallas
 
-            # one pallas column sweep per RHS column (vmap → extra leading
-            # grid axis); the matrix tiles stay VMEM-resident per column
-            return jax.vmap(lambda col: slab_spmv_pallas(sl, col),
-                            in_axes=1, out_axes=1)(B)
+            return slab_spmm_pallas(sl, B)
         return spmm(sl.to_csr(), B, method=None)
     from ..formats.gell import GELL
 
