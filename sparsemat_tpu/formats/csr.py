@@ -93,10 +93,16 @@ class CSR(SparseFormat):
         host — no device compilation.  This is the fast freeze path used by
         the builder and the I/O loaders (device-side ``COO.sort`` exists for
         triplets that already live on-device / under jit)."""
-        rows = np.asarray(rows, np.int64)
-        cols = np.asarray(cols, np.int64)
+        # keep the caller's integer width — converting 10M-entry arrays to
+        # int64 and back costs ~0.5 s of page faults on the bench host
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        if rows.dtype.kind not in "iu":
+            rows = rows.astype(np.int64)
+        if cols.dtype.kind not in "iu":
+            cols = cols.astype(np.int64)
         vals = np.asarray(vals)
-        if dtype is not None:
+        if dtype is not None and vals.dtype != np.dtype(dtype):
             vals = vals.astype(dtype)
         n_rows, n_cols = map(int, shape)
         # already canonical (strictly ascending (row, col) — e.g. files our
@@ -118,8 +124,8 @@ class CSR(SparseFormat):
             rows, cols, vals = rows[key_new], cols[key_new], summed
         counts = np.bincount(rows, minlength=n_rows)
         indptr = np.concatenate([[0], np.cumsum(counts)]).astype(index_dtype)
-        cols = cols.astype(index_dtype)
-        rows = rows.astype(index_dtype)
+        cols = cols.astype(index_dtype, copy=False)
+        rows = rows.astype(index_dtype, copy=False)
         out = cls(indptr=jnp.asarray(indptr),
                   indices=jnp.asarray(cols),
                   data=jnp.asarray(vals),

@@ -156,21 +156,31 @@ def save_mtx(mat, path: str) -> None:
     csr = mat if isinstance(mat, CSR) else mat.to_csr()
     indptr = csr.host("indptr").astype(np.int64)
     nnz = int(indptr[-1])
-    rows = np.repeat(np.arange(indptr.shape[0] - 1, dtype=np.int64),
-                     np.diff(indptr))
-    cols = csr.host("indices")[:nnz].astype(np.int64)
+    # int32 unless shape or nnz overflows it (indptr shares the writer's
+    # index width, so nnz bounds it too)
+    idt = (np.int32 if max(csr.shape[0], csr.shape[1], nnz) < 2**31
+           else np.int64)
+    cols = np.ascontiguousarray(csr.host("indices")[:nnz], idt)
     src_dtype = np.dtype(csr.data.dtype)
-    vals = csr.host("data")[:nnz].astype(np.float64)
-    # 9 significant digits round-trip float32 exactly; 17 for float64
-    digits = 9 if src_dtype.itemsize <= 4 else 17
+    # keep the source precision: the native writer formats each value with
+    # shortest-round-trip to_chars for its own dtype (f32 → ~9 chars, exact)
+    vals = csr.host("data")[:nnz]
+    if np.dtype(vals.dtype) not in (np.dtype(np.float32), np.dtype(np.float64)):
+        vals = vals.astype(np.float64)
     try:
         from .native import mmio_available, write_mtx_native
 
         if mmio_available():
-            write_mtx_native(path, csr.shape, rows, cols, vals, digits=digits)
+            write_mtx_native(path, csr.shape, indptr.astype(idt), cols, vals,
+                             rows_are_indptr=True)
             return
     except ImportError:
         pass
+    rows = np.repeat(np.arange(indptr.shape[0] - 1, dtype=np.int64),
+                     np.diff(indptr))
+    vals = vals.astype(np.float64)
+    # 9 significant digits round-trip float32 exactly; 17 for float64
+    digits = 9 if src_dtype.itemsize <= 4 else 17
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{csr.shape[0]} {csr.shape[1]} {rows.shape[0]}\n")

@@ -1,11 +1,25 @@
-// Native MatrixMarket parser — the data-loader component of the runtime.
+// Native MatrixMarket parser + writer — the data-loader component of the
+// runtime.
 //
 // The reference has no file I/O at all (SURVEY.md §5: "no MatrixMarket
 // reader!"); the benchmark configs require loading SuiteSparse matrices, and
-// numpy's loadtxt-based parsing is 20-50x slower than a strtod loop.  This
-// reads coordinate-format files (real/integer/pattern ×
-// general/symmetric/skew-symmetric), expanding symmetry on the fly.
+// numpy's loadtxt-based parsing is 20-50x slower than a from_chars loop.
+//
+// Performance notes (measured on the 2-core bench host):
+//  * page faults on fresh anonymous memory cost ~10 us/page here — cold-call
+//    cost is dominated by first-touch, not compute.  The reader therefore
+//    mmaps the file (pages usually still in page cache from the save) and
+//    parses DIRECTLY into caller-provided numpy arrays (no int64/double
+//    staging copies); the writer streams through a bounded slot ring
+//    instead of whole-range std::strings (the old design first-touched
+//    ~300 MB per call — VERDICT r3 weak #7).
+//  * values are formatted with shortest-round-trip std::to_chars for their
+//    own dtype: f32-origin values print ~9 chars instead of %.9g's ~12 and
+//    still reload bit-exactly.
+//  * both directions parallelize across newline-aligned byte ranges /
+//    entry chunks (order preserved by construction).
 
+#include <atomic>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
@@ -13,18 +27,18 @@
 #include <cstring>
 #include <algorithm>
 #include <charconv>
+#include <condition_variable>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
 
-namespace {
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
-struct MtxResult {
-  std::vector<int64_t> rows, cols;
-  std::vector<double> vals;
-  int64_t n_rows = 0, n_cols = 0;
-  std::string error;
-};
+namespace {
 
 bool iprefix(const char* s, const char* prefix) {
   while (*prefix) {
@@ -33,173 +47,445 @@ bool iprefix(const char* s, const char* prefix) {
   return true;
 }
 
-MtxResult* parse(const char* path) {
-  auto* res = new MtxResult();
-  FILE* f = fopen(path, "rb");
-  if (!f) {
-    res->error = "cannot open file";
-    return res;
-  }
-  char line[4096];
-  if (!fgets(line, sizeof line, f)) {
-    res->error = "empty file";
-    fclose(f);
-    return res;
-  }
-  if (!iprefix(line, "%%matrixmarket")) {
-    res->error = "not a MatrixMarket file";
-    fclose(f);
-    return res;
-  }
-  bool pattern = strstr(line, "pattern") || strstr(line, "PATTERN");
-  bool symmetric = strstr(line, "symmetric") || strstr(line, "SYMMETRIC");
-  bool skew = strstr(line, "skew-symmetric") || strstr(line, "SKEW");
-  bool coordinate = strstr(line, "coordinate") || strstr(line, "COORDINATE");
-  bool complex_field = strstr(line, "complex") || strstr(line, "COMPLEX");
-  if (!coordinate) {
-    res->error = "only coordinate layout supported natively";
-    fclose(f);
-    return res;
-  }
-  // skip comments
-  do {
-    if (!fgets(line, sizeof line, f)) {
-      res->error = "missing size line";
-      fclose(f);
-      return res;
-    }
-  } while (line[0] == '%');
-  int64_t nr, nc, nnz;
-  if (sscanf(line, "%ld %ld %ld", &nr, &nc, &nnz) != 3) {
-    res->error = "bad size line";
-    fclose(f);
-    return res;
-  }
-  res->n_rows = nr;
-  res->n_cols = nc;
-  uint64_t reserve = symmetric || skew ? nnz * 2 : nnz;
-  res->rows.reserve(reserve);
-  res->cols.reserve(reserve);
-  res->vals.reserve(reserve);
+inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+    ++p;
+  return p;
+}
 
-  // slurp the rest of the file for strtod-speed parsing
-  long data_start = ftell(f);
-  fseek(f, 0, SEEK_END);
-  long end = ftell(f);
-  fseek(f, data_start, SEEK_SET);
-  std::vector<char> buf(end - data_start + 1);
-  size_t got = fread(buf.data(), 1, end - data_start, f);
-  buf[got] = '\0';
-  fclose(f);
+struct Header {
+  bool ok = false;
+  bool pattern = false, symmetric = false, skew = false;
+  bool coordinate = false, complex_field = false;
+  int64_t n_rows = 0, n_cols = 0, nnz = 0;
+  size_t data_offset = 0;  // byte offset of the first entry
+  std::string error;
+};
 
-  char* p = buf.data();
-  for (int64_t k = 0; k < nnz; ++k) {
-    char* q;
-    long i = strtol(p, &q, 10);
-    if (q == p) {
-      res->error = "truncated entry list";
-      return res;
+Header read_header(const char* buf, size_t len) {
+  Header h;
+  const char* p = buf;
+  const char* end = buf + len;
+  auto next_line = [&](const char*& q) {
+    while (q < end && *q != '\n') ++q;
+    if (q < end) ++q;
+  };
+  if (!iprefix(p, "%%matrixmarket")) {
+    h.error = "not a MatrixMarket file";
+    return h;
+  }
+  const char* eol = p;
+  while (eol < end && *eol != '\n') ++eol;
+  std::string first(p, eol - p);
+  for (auto& c : first) c = tolower(c);
+  h.pattern = first.find("pattern") != std::string::npos;
+  h.symmetric = first.find("symmetric") != std::string::npos;
+  h.skew = first.find("skew-symmetric") != std::string::npos;
+  h.coordinate = first.find("coordinate") != std::string::npos;
+  h.complex_field = first.find("complex") != std::string::npos;
+  if (!h.coordinate) {
+    h.error = "only coordinate layout supported natively";
+    return h;
+  }
+  next_line(p);
+  while (p < end && *p == '%') next_line(p);
+  if (p >= end) {
+    h.error = "missing size line";
+    return h;
+  }
+  auto r1 = std::from_chars(skip_ws(p, end), end, h.n_rows);
+  auto r2 = std::from_chars(skip_ws(r1.ptr, end), end, h.n_cols);
+  auto r3 = std::from_chars(skip_ws(r2.ptr, end), end, h.nnz);
+  if (r1.ec != std::errc() || r2.ec != std::errc() || r3.ec != std::errc()) {
+    h.error = "bad size line";
+    return h;
+  }
+  p = r3.ptr;
+  next_line(p);
+  h.data_offset = p - buf;
+  h.ok = true;
+  return h;
+}
+
+struct Mapped {
+  const char* data = nullptr;
+  size_t len = 0;
+  int fd = -1;
+  ~Mapped() {
+    if (data) munmap(const_cast<char*>(data), len);
+    if (fd >= 0) close(fd);
+  }
+  bool open(const char* path) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size == 0) return false;
+    len = st.st_size;
+    void* m = mmap(nullptr, len, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (m == MAP_FAILED) {
+      data = nullptr;
+      return false;
     }
-    p = q;
-    long j = strtol(p, &q, 10);
-    p = q;
+    data = static_cast<const char*>(m);
+    return true;
+  }
+};
+
+// Count entries (newline-terminated, possibly missing final newline) in a
+// byte range — used to pre-split ranges into exact output offsets.
+size_t count_entries(const char* p, const char* end) {
+  size_t n = 0;
+  bool in_entry = false;
+  for (const char* q = p; q < end; ++q) {
+    if (*q == '\n') {
+      in_entry = false;
+    } else if (!in_entry && !isspace((unsigned char)*q)) {
+      in_entry = true;
+      ++n;
+    }
+  }
+  return n;
+}
+
+// Parse [p, end) writing entry k to idx k of the output arrays.  Outputs are
+// int32 or int64 indices and float or double values (idx_bytes/val_bytes).
+// ``mirror_base``: for symmetric/skew files, off-diagonal mirror entries are
+// appended at mirror_base + (running count) — caller sizes the arrays for
+// the worst case and compacts after.  Returns parsed count or -1.
+struct OutSpec {
+  void* rows;
+  void* cols;
+  void* vals;
+  int idx_bytes;
+  int val_bytes;
+};
+
+inline void put_idx(void* arr, int idx_bytes, size_t k, int64_t v) {
+  if (idx_bytes == 4)
+    static_cast<int32_t*>(arr)[k] = (int32_t)v;
+  else
+    static_cast<int64_t*>(arr)[k] = v;
+}
+
+inline void put_val(void* arr, int val_bytes, size_t k, double v) {
+  if (val_bytes == 4)
+    static_cast<float*>(arr)[k] = (float)v;
+  else
+    static_cast<double*>(arr)[k] = v;
+}
+
+int64_t parse_range_direct(const char* p, const char* end, const Header& h,
+                           const OutSpec& o, size_t out0, size_t mirror0,
+                           size_t* mirror_count) {
+  size_t k = out0;
+  size_t mk = mirror0;
+  const bool expand = h.symmetric || h.skew;
+  const double sign = h.skew ? -1.0 : 1.0;
+  while (true) {
+    p = skip_ws(p, end);
+    if (p >= end) break;
+    int64_t i, j;
+    auto r1 = std::from_chars(p, end, i);
+    if (r1.ec != std::errc()) return -1;
+    p = skip_ws(r1.ptr, end);
+    auto r2 = std::from_chars(p, end, j);
+    if (r2.ec != std::errc()) return -1;
+    p = r2.ptr;
     double v = 1.0;
-    if (!pattern) {
-      v = strtod(p, &q);
-      p = q;
-      if (complex_field) (void)strtod(p, &q), p = q;  // drop imaginary part
+    if (!h.pattern) {
+      p = skip_ws(p, end);
+      auto r3 = std::from_chars(p, end, v);
+      if (r3.ec != std::errc()) {
+        // from_chars rejects leading '+'; re-scan manually (mmap is not
+        // NUL-terminated, so strtod is unsafe here)
+        if (p < end && *p == '+') {
+          auto r3b = std::from_chars(p + 1, end, v);
+          if (r3b.ec != std::errc()) return -1;
+          p = r3b.ptr;
+        } else {
+          return -1;
+        }
+      } else {
+        p = r3.ptr;
+      }
+      if (h.complex_field) {
+        p = skip_ws(p, end);
+        double im;
+        auto r4 = std::from_chars(p, end, im);
+        if (r4.ec == std::errc()) p = r4.ptr;  // drop imaginary part
+      }
     }
     --i;
     --j;
-    res->rows.push_back(i);
-    res->cols.push_back(j);
-    res->vals.push_back(v);
-    if ((symmetric || skew) && i != j) {
-      res->rows.push_back(j);
-      res->cols.push_back(i);
-      res->vals.push_back(skew ? -v : v);
+    put_idx(o.rows, o.idx_bytes, k, i);
+    put_idx(o.cols, o.idx_bytes, k, j);
+    put_val(o.vals, o.val_bytes, k, v);
+    ++k;
+    if (expand && i != j) {
+      put_idx(o.rows, o.idx_bytes, mk, j);
+      put_idx(o.cols, o.idx_bytes, mk, i);
+      put_val(o.vals, o.val_bytes, mk, sign * v);
+      ++mk;
     }
   }
-  return res;
+  *mirror_count = mk - mirror0;
+  return (int64_t)(k - out0);
+}
+
+inline int64_t idx_at(const void* p, int32_t idx_bytes, uint64_t k) {
+  return idx_bytes == 4 ? (int64_t) static_cast<const int32_t*>(p)[k]
+                        : static_cast<const int64_t*>(p)[k];
 }
 
 }  // namespace
 
 extern "C" {
 
-void* smt_mtx_parse(const char* path) { return parse(path); }
+// Read just the header: fills (n_rows, n_cols, nnz, flags) so the caller
+// can allocate output arrays.  flags bit0=pattern, bit1=symmetric-or-skew.
+// Returns 0 on success, else an error code.
+int smt_mtx_header(const char* path, int64_t* n_rows, int64_t* n_cols,
+                   int64_t* nnz, int32_t* flags) {
+  Mapped m;
+  if (!m.open(path)) return 1;
+  Header h = read_header(m.data, m.len);
+  if (!h.ok) return 2;
+  *n_rows = h.n_rows;
+  *n_cols = h.n_cols;
+  *nnz = h.nnz;
+  *flags = (h.pattern ? 1 : 0) | ((h.symmetric || h.skew) ? 2 : 0);
+  return 0;
+}
+
+// Parse the entry list directly into caller-provided arrays (sized for
+// nnz entries, or 2*nnz when the symmetric flag was set).  Entry order is
+// preserved; symmetric mirror entries are appended AFTER the stored
+// entries.  Returns the total entry count written, or -errcode.
+int64_t smt_mtx_parse_direct(const char* path, void* rows, void* cols,
+                             int32_t idx_bytes, void* vals,
+                             int32_t val_bytes) {
+  if ((idx_bytes != 4 && idx_bytes != 8) ||
+      (val_bytes != 4 && val_bytes != 8))
+    return -4;
+  Mapped m;
+  if (!m.open(path)) return -1;
+  Header h = read_header(m.data, m.len);
+  if (!h.ok) return -2;
+  const char* base = m.data + h.data_offset;
+  const char* bend = m.data + m.len;
+
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 8) nt = 8;
+  if (h.nnz < 262144) nt = 1;
+
+  // newline-aligned ranges with exact output offsets (entry counts by scan)
+  std::vector<const char*> cut(nt + 1);
+  cut[0] = base;
+  cut[nt] = bend;
+  size_t span = bend - base;
+  for (unsigned t = 1; t < nt; ++t) {
+    const char* c = base + span * t / nt;
+    while (c < bend && *c != '\n') ++c;
+    cut[t] = c < bend ? c + 1 : bend;
+  }
+  std::vector<size_t> counts(nt), offs(nt + 1, 0);
+  {
+    // exact per-range entry counts (never trust the header's nnz — the
+    // output arrays are caller-sized and must not overrun)
+    std::vector<std::thread> scanners;
+    for (unsigned t = 0; t < nt; ++t)
+      scanners.emplace_back(
+          [&, t]() { counts[t] = count_entries(cut[t], cut[t + 1]); });
+    for (auto& s : scanners) s.join();
+  }
+  for (unsigned t = 0; t < nt; ++t) offs[t + 1] = offs[t] + counts[t];
+  const size_t total_direct = offs[nt];
+  if ((int64_t)total_direct > h.nnz) return -3;  // more entries than declared
+
+  OutSpec o{rows, cols, vals, idx_bytes, val_bytes};
+  const bool expand = h.symmetric || h.skew;
+  // mirrors go after ALL direct entries; each range gets a worst-case
+  // region (its own entry count) and regions are compacted afterwards
+  std::vector<size_t> mirror_off(nt + 1, total_direct);
+  for (unsigned t = 0; t < nt; ++t)
+    mirror_off[t + 1] = mirror_off[t] + (expand ? counts[t] : 0);
+  std::vector<size_t> mirror_counts(nt, 0);
+  std::atomic<int64_t> status{0};
+  std::vector<std::thread> workers;
+  for (unsigned t = 0; t < nt; ++t) {
+    workers.emplace_back([&, t]() {
+      int64_t got = parse_range_direct(cut[t], cut[t + 1], h, o, offs[t],
+                                       mirror_off[t], &mirror_counts[t]);
+      if (got < 0 || (size_t)got != counts[t]) status.store(-3);
+    });
+  }
+  for (auto& w : workers) w.join();
+  if (status.load() != 0) return status.load();
+
+  // compact the mirror regions (usually near-full: few diagonal entries)
+  size_t write = total_direct;
+  for (unsigned t = 0; t < nt; ++t) {
+    size_t src = mirror_off[t], cnt = mirror_counts[t];
+    if (src != write && cnt) {
+      std::memmove((char*)rows + write * idx_bytes,
+                   (char*)rows + src * idx_bytes, cnt * idx_bytes);
+      std::memmove((char*)cols + write * idx_bytes,
+                   (char*)cols + src * idx_bytes, cnt * idx_bytes);
+      std::memmove((char*)vals + write * val_bytes,
+                   (char*)vals + src * val_bytes, cnt * val_bytes);
+    }
+    write += cnt;
+  }
+  return (int64_t)write;
+}
 
 // Write a coordinate/real/general MatrixMarket file (1-based indices).
-// Returns 0 on success.  Formatting (snprintf %.Ng dominates, ~0.5 us/line)
-// is parallelized across threads into per-chunk buffers written in order —
-// the writer half of the data-loader runtime component (the reference has
-// no file I/O at all, SURVEY.md §5).  ``digits``: significant digits (9
-// round-trips float32 exactly, 17 for float64).
+// Returns 0 on success.
+//
+// ``rows_are_indptr``: when nonzero, ``rows`` is a CSR indptr array of
+// length n_rows+1 (idx_bytes each) and row ids are derived on the fly —
+// saves the caller materializing an nnz-length row array.  Values are
+// formatted with SHORTEST round-trip std::to_chars for their own dtype.
+// Chunks are formatted by worker threads through a bounded slot ring and
+// written in order by the calling thread, overlapping formatting with I/O
+// and capping fresh-page allocation at a few buffers.
 int smt_mtx_write(const char* path, int64_t n_rows, int64_t n_cols,
-                  uint64_t nnz, const int64_t* rows, const int64_t* cols,
-                  const double* vals, int32_t digits) {
+                  uint64_t nnz, const void* rows, int32_t rows_are_indptr,
+                  const void* cols, int32_t idx_bytes, const void* vals,
+                  int32_t val_bytes) {
+  if ((idx_bytes != 4 && idx_bytes != 8) ||
+      (val_bytes != 4 && val_bytes != 8))
+    return 4;
   FILE* f = fopen(path, "wb");
   if (!f) return 1;
   setvbuf(f, nullptr, _IOFBF, 1 << 22);
   fprintf(f, "%%%%MatrixMarket matrix coordinate real general\n");
   fprintf(f, "%ld %ld %lu\n", (long)n_rows, (long)n_cols,
           (unsigned long)nnz);
-  if (digits < 1 || digits > 17) digits = 17;
+
+  const uint64_t chunk = 1u << 19;  // entries per chunk (~12 MB formatted)
+  const uint64_t n_chunks = nnz ? (nnz + chunk - 1) / chunk : 0;
   unsigned nt = std::thread::hardware_concurrency();
   if (nt < 1) nt = 1;
-  if (nt > 16) nt = 16;
-  uint64_t chunk = (nnz + nt - 1) / nt;
-  std::vector<std::string> bufs(nt);
-  std::vector<std::thread> workers;
-  for (unsigned t = 0; t < nt; ++t) {
-    workers.emplace_back([&, t]() {
-      uint64_t lo = t * chunk, hi = std::min(nnz, (t + 1) * chunk);
-      if (lo >= hi) return;
-      std::string& out = bufs[t];
-      out.reserve((hi - lo) * 28);
-      // std::to_chars is ~10x snprintf — this loop is the save_mtx
-      // bottleneck on the 2-core bench host
-      char line[96];
-      for (uint64_t k = lo; k < hi; ++k) {
-        char* p = line;
-        p = std::to_chars(p, line + sizeof line, rows[k] + 1).ptr;
-        *p++ = ' ';
-        p = std::to_chars(p, line + sizeof line, cols[k] + 1).ptr;
-        *p++ = ' ';
-        p = std::to_chars(p, line + sizeof line, vals[k],
-                          std::chars_format::general, digits).ptr;
-        *p++ = '\n';
-        out.append(line, p - line);
+  if (nt > 8) nt = 8;
+  if (n_chunks < 2) nt = 1;
+
+  auto row_of = [&](uint64_t k, int64_t hint) -> int64_t {
+    // indptr walk: advance from hint (entries are processed in order)
+    int64_t r = hint;
+    while (r + 1 <= n_rows && idx_at(rows, idx_bytes, r + 1) <= (int64_t)k)
+      ++r;
+    return r;
+  };
+
+  auto format_chunk = [&](uint64_t c, std::string& out) {
+    out.clear();
+    uint64_t lo = c * chunk, hi = std::min(nnz, (c + 1) * chunk);
+    out.reserve((hi - lo) * 26);
+    char line[96];
+    int64_t r = 0;
+    if (rows_are_indptr) {
+      // binary-search the chunk's first row
+      int64_t a = 0, b = n_rows;
+      while (a < b) {
+        int64_t mid = (a + b + 1) / 2;
+        if (idx_at(rows, idx_bytes, mid) <= (int64_t)lo)
+          a = mid;
+        else
+          b = mid - 1;
       }
-    });
-  }
-  for (auto& w : workers) w.join();
-  for (auto& b : bufs) {
-    if (!b.empty() && fwrite(b.data(), 1, b.size(), f) != b.size()) {
-      fclose(f);
-      return 2;
+      r = a;
     }
+    for (uint64_t k = lo; k < hi; ++k) {
+      char* p = line;
+      int64_t ri;
+      if (rows_are_indptr) {
+        r = row_of(k, r);
+        ri = r;
+      } else {
+        ri = idx_at(rows, idx_bytes, k);
+      }
+      p = std::to_chars(p, line + sizeof line, ri + 1).ptr;
+      *p++ = ' ';
+      p = std::to_chars(p, line + sizeof line, idx_at(cols, idx_bytes, k) + 1)
+              .ptr;
+      *p++ = ' ';
+      if (val_bytes == 4)
+        p = std::to_chars(p, line + sizeof line,
+                          static_cast<const float*>(vals)[k]).ptr;
+      else
+        p = std::to_chars(p, line + sizeof line,
+                          static_cast<const double*>(vals)[k]).ptr;
+      *p++ = '\n';
+      out.append(line, p - line);
+    }
+  };
+
+  bool write_failed = false;
+  if (nt == 1) {
+    std::string out;
+    for (uint64_t c = 0; c < n_chunks && !write_failed; ++c) {
+      format_chunk(c, out);
+      if (fwrite(out.data(), 1, out.size(), f) != out.size())
+        write_failed = true;
+    }
+  } else {
+    // bounded pipeline: workers format chunks out of order into a small
+    // slot ring; the calling thread drains slots strictly in order
+    const unsigned n_slots = nt + 2;
+    std::vector<std::string> slot(n_slots);
+    std::vector<int64_t> slot_chunk(n_slots, -1);  // chunk held by slot
+    std::mutex mu;
+    std::condition_variable cv_full, cv_free;
+    std::atomic<uint64_t> next{0};
+    uint64_t drained = 0;  // chunks written so far (main thread)
+
+    auto worker = [&]() {
+      for (;;) {
+        uint64_t c = next.fetch_add(1);
+        if (c >= n_chunks) return;
+        unsigned s = c % n_slots;
+        {
+          // wait until slot s is free AND we are within the window
+          std::unique_lock<std::mutex> lk(mu);
+          cv_free.wait(lk, [&] {
+            return slot_chunk[s] == -1 && c < drained + n_slots;
+          });
+        }
+        format_chunk(c, slot[s]);
+        {
+          std::lock_guard<std::mutex> lk(mu);
+          slot_chunk[s] = (int64_t)c;
+        }
+        cv_full.notify_all();
+      }
+    };
+    std::vector<std::thread> workers;
+    for (unsigned t = 0; t < nt; ++t) workers.emplace_back(worker);
+    for (uint64_t c = 0; c < n_chunks; ++c) {
+      unsigned s = c % n_slots;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_full.wait(lk, [&] { return slot_chunk[s] == (int64_t)c; });
+      }
+      if (!write_failed &&
+          fwrite(slot[s].data(), 1, slot[s].size(), f) != slot[s].size())
+        write_failed = true;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        slot_chunk[s] = -1;
+        drained = c + 1;
+      }
+      cv_free.notify_all();
+    }
+    for (auto& w : workers) w.join();
+  }
+  if (write_failed) {
+    fclose(f);
+    return 2;
   }
   return fclose(f) ? 3 : 0;
 }
-
-const char* smt_mtx_error(void* h) {
-  auto* r = static_cast<MtxResult*>(h);
-  return r->error.empty() ? nullptr : r->error.c_str();
-}
-
-uint64_t smt_mtx_nnz(void* h) { return static_cast<MtxResult*>(h)->rows.size(); }
-int64_t smt_mtx_n_rows(void* h) { return static_cast<MtxResult*>(h)->n_rows; }
-int64_t smt_mtx_n_cols(void* h) { return static_cast<MtxResult*>(h)->n_cols; }
-
-void smt_mtx_export(void* h, int64_t* rows_out, int64_t* cols_out,
-                    double* vals_out) {
-  auto* r = static_cast<MtxResult*>(h);
-  std::memcpy(rows_out, r->rows.data(), r->rows.size() * sizeof(int64_t));
-  std::memcpy(cols_out, r->cols.data(), r->cols.size() * sizeof(int64_t));
-  std::memcpy(vals_out, r->vals.data(), r->vals.size() * sizeof(double));
-}
-
-void smt_mtx_free(void* h) { delete static_cast<MtxResult*>(h); }
 
 }  // extern "C"
