@@ -41,6 +41,16 @@ class DIA(SparseFormat):
     data: jax.Array = array_field()
     offsets: Tuple[int, ...] = static_field()
     shape: Tuple[int, int] = static_field()
+    #: optional lane-packed copy of ``data``: (n_diags, ceil(n/128), 128).
+    #: A 2-D (n_d, n) array with n_d < 8 is stored in (8,128)-padded tiles —
+    #: reading it moves 8/n_d× the logical bytes (measured 1.6× at n_d=5,
+    #: the whole gap between the r3 DIA kernel at ~500 GB/s and the chip's
+    #: ~720 GB/s demonstrated stream rate).  The packed 3-D layout tiles the
+    #: LAST two dims, wasting nothing; the Pallas kernel uses it when
+    #: present (costs a second copy of the diagonals in HBM — call
+    #: ``without_tiled()`` to drop it).
+    tdata: object = dataclasses.field(default=None,
+                                      metadata={"pytree_node": True})
 
     @classmethod
     def from_csr(cls, csr) -> "DIA":
@@ -57,8 +67,23 @@ class DIA(SparseFormat):
         data = np.zeros((len(offs), n_rows), vals.dtype)
         d_idx = np.array([off_pos[int(o)] for o in (cols.astype(np.int64) - rows)])
         data[d_idx, rows] = vals
+        pad = -n_rows % 128
+        tdata = np.pad(data, ((0, 0), (0, pad))).reshape(len(offs), -1, 128)
         return cls(data=jnp.asarray(data), offsets=tuple(int(o) for o in offs),
-                   shape=csr.shape)
+                   shape=csr.shape, tdata=jnp.asarray(tdata))
+
+    def with_tiled(self) -> "DIA":
+        """Attach the lane-packed companion (device-side reshape+copy; do
+        this OUTSIDE any timed/jitted region)."""
+        if self.tdata is not None:
+            return self
+        pad = -int(self.data.shape[1]) % 128
+        td = jnp.pad(self.data, ((0, 0), (0, pad))).reshape(
+            self.data.shape[0], -1, 128)
+        return dataclasses.replace(self, tdata=td)
+
+    def without_tiled(self) -> "DIA":
+        return dataclasses.replace(self, tdata=None)
 
     @staticmethod
     def diagonal_count(csr) -> int:
@@ -105,7 +130,10 @@ class DIA(SparseFormat):
         return jnp.sum(self.data != 0).astype(jnp.int32)
 
     def scale(self, scalar) -> "DIA":
-        return dataclasses.replace(self, data=self.data * jnp.asarray(scalar, self.data.dtype))
+        s = jnp.asarray(scalar, self.data.dtype)
+        return dataclasses.replace(
+            self, data=self.data * s,
+            tdata=None if self.tdata is None else self.tdata * s)
 
     def diagonal(self) -> jax.Array:
         if 0 in self.offsets:
