@@ -22,14 +22,15 @@ from .csr import CSR
 from .dia import DIA
 from .ell import ELL
 from .rowvec import RowVec
+from .route import RouteStream
 from .sell import SELL
 from .gell import GELL
 from .slab import SlabELL, SlabPack, SlabStream
 from .well import WELL
 
 __all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "GELL",
-           "RowVec", "SELL", "SlabELL", "SlabPack", "SlabStream", "WELL",
-           "auto_format"]
+           "RouteStream", "RowVec", "SELL", "SlabELL", "SlabPack",
+           "SlabStream", "WELL", "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
@@ -51,10 +52,11 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
     * skewed distribution on a non-TPU backend → SELL (per-slice padding;
       it has no Pallas kernel, so on TPU it would land on the slow COO
       stream — skipped there);
-    * fallback (global scatter, e.g. scircuit) → GELL, the scatter-free
-      gather ladder: XLA gathers and scatters both run ~0.13 G elem/s on
-      TPU, so eliminating the scatter roughly doubles the CSR stream, and
-      nothing structural is available to exploit.
+    * global scatter (e.g. scircuit) on TPU → RouteStream, the statically-
+      routed two-kernel Pallas path (XLA gathers and scatters both run
+      ~0.13 G elem/s per element on TPU — only routed Pallas streaming
+      wins this regime); off-TPU or when its VMEM residency doesn't fit →
+      GELL, the scatter-free XLA ladder.
     """
     import jax
     import numpy as np
@@ -79,4 +81,8 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
     if (slab.x_bytes() <= 8 * 1024 * 1024
             and slab.nse <= max_slab_waste * nnz):
         return slab
+    if on_tpu:
+        rs = RouteStream.from_csr(csr)
+        if rs.vmem_resident_bytes() <= 8 * 1024 * 1024:
+            return rs
     return GELL.from_csr(csr)

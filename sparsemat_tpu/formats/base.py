@@ -119,6 +119,11 @@ class SparseFormat:
 
         return SlabStream.from_csr(self.to_csr(), rb=rb or SLAB_ROW_BLOCK)
 
+    def to_route(self):
+        from .route import RouteStream
+
+        return RouteStream.from_csr(self.to_csr())
+
     @property
     def n_rows(self) -> int:
         return self.shape[0]

