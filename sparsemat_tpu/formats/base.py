@@ -43,8 +43,8 @@ def array_field():
     return dataclasses.field(metadata={"pytree_node": True})
 
 
-def static_field():
-    return dataclasses.field(metadata={"pytree_node": False})
+def static_field(**kwargs):
+    return dataclasses.field(metadata={"pytree_node": False}, **kwargs)
 
 
 class SparseFormat:

@@ -476,6 +476,65 @@ def refine(A, b, x0=None, *, tol: float = 1e-8, rtol: float = 0.0,
         residual_history=jnp.asarray(hist, hi))
 
 
+def refine_host(A_high, b, x0=None, *, tol: float = 1e-8, rtol: float = 0.0,
+                max_outer: int = 40, inner=cg, A_low=None,
+                inner_rtol: float = 1e-2, inner_maxiter: int = 4000,
+                low_dtype=jnp.float32, M=None):
+    """Iterative refinement with the HIGH-precision half on the host.
+
+    ``refine`` above needs ``jax_enable_x64`` for its f64 vectors — a
+    process-global mode that conflicts with the default-f32 session the
+    rest of a program runs in.  This variant sidesteps the mode entirely:
+    the outer residual r = b − A x runs as a host numpy/scipy **float64**
+    SpMV (the reference's f64 capability, src/types.rs:70-77 + the f64
+    golden CG at src/lib.rs:37-52), while the thousands of inner iterations
+    run in f32 on the device.  The f64 work per outer step is one sparse
+    matvec — cheap on host; the device never sees an f64 array.
+
+    ``A_high``: scipy sparse matrix / numpy array / callable v → A·v in
+    float64.  ``A_low``: the frozen device matrix for inner solves
+    (required).  Returns (x: numpy float64, SolveInfo) with ``iterations``
+    counting total inner iterations.
+    """
+    if A_low is None:
+        raise ValueError("refine_host needs A_low, the f32 device operator")
+    matvec = A_high if (callable(A_high) and not hasattr(A_high, "shape")) \
+        else (lambda v: A_high @ v)
+    b = np.asarray(b, np.float64)
+    x = (np.zeros_like(b) if x0 is None
+         else np.asarray(x0, np.float64).copy())
+    threshold = float(max(tol, rtol * np.linalg.norm(b)))
+    hist = []
+    total_inner = 0
+    prev_norm = np.inf
+    stalled = 0
+    for _ in range(max_outer):
+        r = b - matvec(x)                       # host f64 SpMV
+        rnorm = float(np.linalg.norm(r))
+        hist.append(rnorm)
+        if rnorm <= threshold:
+            break
+        if rnorm >= 0.5 * prev_norm:
+            stalled += 1
+            if stalled >= 2:                    # refinement no longer gaining
+                break
+        else:
+            stalled = 0
+        prev_norm = rnorm
+        # scale the correction system so f32 sees O(1) magnitudes
+        r_low = jnp.asarray((r / rnorm).astype(jnp.dtype(low_dtype)))
+        d, info = inner(A_low, r_low, tol=0.0, rtol=inner_rtol,
+                        maxiter=inner_maxiter, M=M)
+        total_inner += int(info.iterations)
+        x = x + np.asarray(d, np.float64) * rnorm
+    rnorm = float(np.linalg.norm(b - matvec(x)))
+    return x, SolveInfo(
+        iterations=jnp.asarray(total_inner, jnp.int32),
+        residual_norm=jnp.asarray(rnorm, jnp.float32),
+        converged=jnp.asarray(rnorm <= threshold),
+        residual_history=jnp.asarray(np.asarray(hist, np.float32)))
+
+
 # --- preconditioners ---------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)

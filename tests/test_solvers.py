@@ -234,3 +234,29 @@ def test_refine_low_precision_operator_is_f32():
     b = jnp.ones((lap.shape[0],), jnp.float64)
     x, info = solvers.refine(A, b, tol=1e-9, A_low=A32)
     assert bool(info.converged)
+
+
+def test_refine_host_f64_outer_on_host():
+    """refine_host: the f64 half runs in host numpy (no jax_enable_x64
+    needed), the f32 inner CG on the device — the guaranteed-deliverable
+    form of the reference's f64 CG capability (src/linearsolver.rs:27-61,
+    f64 golden test src/lib.rs:37-52)."""
+    lap = poisson2d(48)                      # scipy f64 on host
+    A32 = smt.CSR.from_scipy(lap.astype(np.float32))
+    b = np.ones(lap.shape[0])
+    x, info = solvers.refine_host(lap, b, A_low=A32, tol=1e-10,
+                                  inner_maxiter=3000)
+    assert bool(info.converged), float(info.residual_norm)
+    assert isinstance(x, np.ndarray) and x.dtype == np.float64
+    assert np.linalg.norm(b - lap @ x) <= 2e-10
+    assert int(info.iterations) > 0
+
+
+def test_refine_host_accepts_callable():
+    lap = poisson2d(24)
+    A32 = smt.CSR.from_scipy(lap.astype(np.float32))
+    b = np.ones(lap.shape[0])
+    x, info = solvers.refine_host(lambda v: lap @ v, b, A_low=A32,
+                                  tol=1e-9)
+    assert bool(info.converged)
+    assert np.linalg.norm(b - lap @ x) <= 2e-9
