@@ -105,15 +105,28 @@ PROBE_BW = {"bw": 0.0}
 _emitted = False
 
 
+#: working sets past the fast-tier cliff are pure HBM; only kernels out
+#: there may raise the HBM denominator (a cache-resident kernel "out-
+#: streaming HBM" is the tier working, not a better mover)
+_HBM_TIER_MIN = 220e6
+
+
 def finalize_fractions():
     """Recompute every speed-of-light fraction against the final honest
-    denominator (done at emit time, once all kernels have been measured)."""
+    denominator (done at emit time, once all kernels have been measured).
+
+    Each config is scored against the memory tier matched to its OWN
+    traffic size (tier_bw): this chip serves <~100 MB working sets at
+    multi-TB/s from a fast tier, so a single HBM denominator would let
+    cache-resident kernels report impossible >100% fractions (r5 measured
+    the 4M-row CG at 880 GB/s effective - 128% of the HBM roofline and
+    properly ~39% of its 117 MB tier)."""
     if not MEASURES:
         return
     best_name, best_rate = None, 0.0
     for name, (byt, dt) in MEASURES.items():
         rate = byt / dt
-        if rate > best_rate:
+        if byt >= _HBM_TIER_MIN and rate > best_rate:
             best_name, best_rate = name, rate
     denom = max(PROBE_BW["bw"], best_rate)
     DETAIL["roofline_denominator_gb_s"] = round(denom / 1e9, 1)
@@ -123,29 +136,36 @@ def finalize_fractions():
     # the tripwire cap must be INDEPENDENT of the measurements: with
     # cap = max(denom, spec) the fastest kernel is its own cap and a
     # fantasy-timer bug silently renormalizes the headline instead of
-    # tripping (r4 advisor, medium).  Spec sheet BW (or the stream probes
-    # when the generation is unknown) is the independent ceiling.
-    cap = max(PROBE_BW["bw"], _SPEC_BW or 0)
+    # tripping (r4 advisor, medium).  HBM tier: spec sheet / stream probes.
+    # Fast tier: the size-matched triad rate + 20% interpolation margin.
+    hbm_cap = max(PROBE_BW["bw"], _SPEC_BW or 0)
     fracs = {}
+    tiers = {}
     for name, (byt, dt) in MEASURES.items():
         rate = byt / dt
-        if rate > 1.02 * cap:
+        if byt >= _HBM_TIER_MIN:
+            denom_i, cap_i = denom, 1.02 * hbm_cap
+        else:
+            denom_i = max(tier_bw(byt), denom)
+            cap_i = 1.20 * denom_i
+        if rate > cap_i:
             VIOLATIONS.append({"config": name,
-                               "fraction_of_spec": round(rate / cap, 4)})
-        fracs[name] = round(rate / denom, 4)
+                               "fraction_of_cap": round(rate / cap_i, 4)})
+        fracs[name] = round(rate / denom_i, 4)
+        tiers[name] = round(denom_i / 1e9, 1)
     DETAIL["sol_fractions"] = fracs
+    DETAIL["sol_tier_gb_s"] = tiers
     if "banded_16M/dia" in MEASURES:
         byt, dt = MEASURES["banded_16M/dia"]
         RESULT["value"] = round(byt / dt / denom, 4)
         RESULT["vs_baseline"] = round(RESULT["value"] / 0.70, 4)
-        if "spmv_banded_1e4_dia_floor_adj_frac" in DETAIL:
-            pass  # recomputed below from its own measure
     for det_key, mkey in (("spmv_banded_1e4_dia_floor_adj_frac",
                            "banded_1e4/dia_minus_floor"),
                           ("cg_poisson_4M_sol_frac", "cg_poisson_4194304")):
         if mkey in MEASURES:
-            byt, dt = MEASURES[mkey]
-            DETAIL[det_key] = round(byt / dt / denom, 4)
+            fr = fracs.get(mkey)
+            if fr is not None:
+                DETAIL[det_key] = fr
 
 
 def emit_final():
@@ -283,14 +303,15 @@ _SPEC_BW = None  # set in main() once the chip generation is known
 
 def sol_fraction(name, bytes_moved, dt, bw):
     """Record a speed-of-light measurement and return the PROVISIONAL
-    fraction vs the stream probes.  The final fractions (incl. the headline)
+    fraction vs the memory tier matched to its traffic size.  The final fractions (incl. the headline)
     are recomputed in ``finalize_fractions`` against max(probes, best
     library kernel) so no kernel can out-stream its own denominator
     (VERDICT r3 weak #1); the spec-sheet bandwidth remains the
     harness-bug tripwire."""
     MEASURES[name] = (float(bytes_moved), float(dt))
-    frac = bytes_moved / dt / bw
-    if frac > 1.0:
+    denom = tier_bw(bytes_moved) if bytes_moved < _HBM_TIER_MIN else bw
+    frac = bytes_moved / dt / denom
+    if frac > 1.0 and bytes_moved >= _HBM_TIER_MIN:
         log(f"  note: {name} out-streams the stream probes "
             f"({bytes_moved/dt/1e9:.0f} GB/s effective) — it will RAISE the "
             f"final roofline denominator")
@@ -327,29 +348,69 @@ def pallas_copy_bw():
     return 2 * nr * nc * 4 / dt
 
 
+#: measured memory-tier curve: [(traffic_bytes_per_iter, bw_bytes_per_s)].
+#: This chip (axon v5e) has a ~100 MB fast tier at ~8 TB/s with a clean
+#: cliff to the honest ~685 GB/s HBM rate beyond ~256 MB working sets
+#: (measured r5: triad 34 MB -> 8.6 TB/s, 134 MB -> 2.2 TB/s, 268+ MB ->
+#: 686 GB/s).  A single HBM denominator therefore over- OR under-states the
+#: speed of light for sub-cliff configs - every fraction is computed
+#: against the tier matched to its own traffic size.
+TIER_CURVE = []
+
+
+def tier_bw(nbytes: float) -> float:
+    """Best measured stream rate for a working set of ``nbytes`` (log-log
+    interpolation of the tier curve; clamps at the ends)."""
+    if not TIER_CURVE:
+        return PROBE_BW["bw"]
+    pts = TIER_CURVE
+    if nbytes <= pts[0][0]:
+        return pts[0][1]
+    if nbytes >= pts[-1][0]:
+        return pts[-1][1]
+    for (b0, w0), (b1, w1) in zip(pts, pts[1:]):
+        if b0 <= nbytes <= b1:
+            t = (np.log(nbytes) - np.log(b0)) / (np.log(b1) - np.log(b0))
+            return float(np.exp(np.log(w0) * (1 - t) + np.log(w1) * t))
+    return pts[-1][1]  # pragma: no cover
+
+
 def measure_stream_bw():
-    """Best measured stream bandwidth: chained XLA scale (2 passes), triad
-    (3 passes) and a Pallas copy over 256 MB.  These are the fastest memory
-    movers we can observe on this chip, so their max is the honest roofline
-    denominator."""
+    """Measured stream-bandwidth CURVE: a chained triad swept across working
+    -set sizes (34 MB -> 537 MB) maps the fast-tier -> HBM cliff; the large-
+    size limit is cross-checked against an XLA scale probe and a Pallas
+    copy kernel, and their max is the honest HBM roofline denominator."""
+    curve = []
+    for logn in (22, 23, 24, 25, 26):
+        n = 1 << logn
+        x = jnp.ones((n,), jnp.float32)
+        a = jnp.full((n,), 1e-9, jnp.float32)
+        dt3 = time_chained(lambda v, aa: v * np.float32(0.9999999) + aa, x,
+                           (a,), target_secs=0.4)
+        curve.append((3 * n * 4, 3 * n * 4 / dt3))
+        del x, a
     n = 1 << 26
     x = jnp.ones((n,), jnp.float32)
-    a = jnp.full((n,), 1e-9, jnp.float32)
     dt2 = time_chained(lambda v: v * np.float32(0.9999999), x, ())
     bw_scale = 2 * n * 4 / dt2
-    dt3 = time_chained(lambda v, aa: v * np.float32(0.9999999) + aa, x, (a,))
-    bw_triad = 3 * n * 4 / dt3
+    bw_triad = curve[-1][1]
     try:
         bw_pallas = pallas_copy_bw()
     except Exception as e:  # pragma: no cover
         log(f"  pallas copy probe failed: {str(e)[:120]}")
         bw_pallas = 0.0
     bw = max(bw_scale, bw_triad, bw_pallas)
+    curve[-1] = (curve[-1][0], max(curve[-1][1], bw))
+    TIER_CURVE[:] = curve
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
     spec = HBM_SPEC.get(gen)
-    log(f"stream bandwidth: scale {bw_scale/1e9:.0f}, triad {bw_triad/1e9:.0f}, "
-        f"pallas copy {bw_pallas/1e9:.0f} GB/s → roofline uses {bw/1e9:.0f} GB/s"
+    log("stream tiers: " + ", ".join(
+        f"{b/1e6:.0f}MB->{w/1e9:.0f}GB/s" for b, w in curve))
+    log(f"HBM limit: scale {bw_scale/1e9:.0f}, triad {bw_triad/1e9:.0f}, "
+        f"pallas copy {bw_pallas/1e9:.0f} GB/s -> roofline uses {bw/1e9:.0f} GB/s"
         + (f" (spec {gen}: {spec/1e9:.0f} GB/s)" if spec else ""))
+    DETAIL["stream_tier_curve"] = [
+        [round(b / 1e6, 1), round(w / 1e9, 1)] for b, w in curve]
     return bw, (spec or bw)
 
 
@@ -593,7 +654,10 @@ def poisson(n, dtype):
 n = 1024
 m = n * n
 A64 = poisson(n, jnp.float64)
-b = jnp.ones((m,), jnp.float64)
+# unit-norm rhs: with b = ones (||b|| = 1024) the solution has ||x|| ~ 1e7
+# and the f64 SpMV itself rounds at ~1e-8 absolute — the 1e-8 target would
+# sit ON the f64 floor.  Unit norm makes absolute == relative residual.
+b = jnp.full((m,), 1.0 / np.sqrt(m), jnp.float64)
 stamp("matrix built on device (f64)")
 
 # pure-f64 CG rate (fixed small iteration count: every distinct maxiter is
@@ -767,13 +831,24 @@ def main():
         DETAIL["per_step_floor_us"] = round(floor * 1e6, 3)
         if "dia" in res1:
             dia_dt = small.nnz / res1["dia"][0]
-            sol_bytes = smt.CSR.from_scipy(small).to_dia().spmv_traffic_bytes()
-            adj = sol_fraction("banded_1e4/dia_minus_floor", sol_bytes,
-                               max(dia_dt - floor, 1e-9), bw)
-            log(f"  banded_1e4/dia: per-pallas-call floor {floor*1e6:.2f} us "
-                f"of {dia_dt*1e6:.2f} us → {100*adj:.1f}% of layout "
-                f"speed-of-light after subtracting the floor")
-            DETAIL["spmv_banded_1e4_dia_floor_adj_frac"] = round(float(adj), 4)
+            if dia_dt > 1.5 * floor:
+                sol_bytes = (smt.CSR.from_scipy(small).to_dia()
+                             .spmv_traffic_bytes())
+                adj = sol_fraction("banded_1e4/dia_minus_floor", sol_bytes,
+                                   dia_dt - floor, bw)
+                log(f"  banded_1e4/dia: per-pallas-call floor "
+                    f"{floor*1e6:.2f} us of {dia_dt*1e6:.2f} us → "
+                    f"{100*adj:.1f}% of layout speed-of-light after "
+                    f"subtracting the floor")
+                DETAIL["spmv_banded_1e4_dia_floor_adj_frac"] = round(
+                    float(adj), 4)
+            else:
+                # the kernel now runs FASTER than the reference floor probe
+                # (r5: 0.27 us vs a 1.05 us probe) — a floor subtraction
+                # would fabricate a negative time; report raw only
+                log(f"  banded_1e4/dia: {dia_dt*1e6:.2f} us is at/below the "
+                    f"{floor*1e6:.2f} us dispatch-floor probe — no "
+                    f"floor-adjusted fraction (raw fraction stands)")
 
         # VMEM-resident chained rate (the solver-loop regime): matrix loaded
         # from HBM once per chain → HBM roofline does not bind.  Timed
@@ -929,7 +1004,10 @@ def main():
         A64 = sp.diags([-np.ones(m - n), -e1, main_d, -e1, -np.ones(m - n)],
                        [-n, -1, 0, 1, n], format="csr")
         A32 = poisson2d_dia_device(n)
-        b = np.ones(m)
+        # unit-norm rhs — see the f64 subprocess note: ||b|| = 1024 puts the
+        # 1e-8 absolute target on the f64 rounding floor of the outer SpMV
+        # (measured stall at 1.24e-8); unit norm makes the target meaningful
+        b = np.ones(m) / np.sqrt(m)
         t0 = time.perf_counter()
         x, info = solvers.refine_host(A64, b, A_low=A32, tol=1e-8,
                                       inner_rtol=1e-2, inner_maxiter=6000,
@@ -946,8 +1024,9 @@ def main():
         DETAIL["f64_refine_inner_iters"] = inner_it
         DETAIL["f64_refine_mode"] = "host_f64_outer"
 
-    # skip if the x64 subprocess already delivered a refine number
-    if "f64_refine_residual" not in DETAIL:
+    # run unless the x64 subprocess already CONVERGED its refine (a partial
+    # subprocess result — r5 smoke: stalled at 1.9e-7 — must not block this)
+    if not DETAIL.get("f64_refine_converged"):
         run_config("f64_refine_host", 40, config_f64_refine_host, cap=180)
 
     # ---- config 4b: pwtk-class FEM surrogate --------------------------------

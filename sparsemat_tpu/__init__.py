@@ -45,6 +45,7 @@ from .ops import (
     spmm,
     spmv,
     spmv_chain,
+    spmv_dot,
     sub,
     transpose,
 )
@@ -61,7 +62,7 @@ __all__ = [
     "JacobiPreconditioner", "BlockJacobiPreconditioner",
     "SolveInfo", "solvers",
     "DimensionError",
-    "spmv", "spmm", "spgemm", "rmatvec", "spmv_chain",
+    "spmv", "spmm", "spgemm", "rmatvec", "spmv_chain", "spmv_dot",
     "add", "sub", "transpose", "inner_prod", "is_symmetric",
     "is_sorted", "is_sorted_row", "extract_row",
     "DenseVec", "SparseVec", "norm", "norm_squared",

@@ -301,9 +301,9 @@ def dia_spmv_chain_pallas(dia: DIA, x: jax.Array, k: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("offsets", "n_rows", "H", "C",
-                                    "interpret"))
+                                    "with_dot", "interpret"))
 def _dia_spmv_pallas_2d_impl(tdata, x, *, offsets, n_rows, H, C,
-                             interpret=False):
+                             with_dot=False, interpret=False):
     """Lane-packed variant: diagonals as (n_d, rows, 128) tiles (nothing
     sublane-padded — see DIA.tdata), x delivered as THREE auto-pipelined
     BlockSpec views of the UNPADDED (npr, 128) reshape of x (the CR-row
@@ -345,7 +345,11 @@ def _dia_spmv_pallas_2d_impl(tdata, x, *, offsets, n_rows, H, C,
     lob = CR // HR                      # halo-strip blocks per chunk stride
     hi_max = npr // HR - 1              # last valid halo-strip block index
 
-    def kernel(data_ref, main_ref, lo_ref, hi_ref, o_ref, scratch):
+    def kernel(data_ref, main_ref, lo_ref, hi_ref, o_ref, *rest):
+        if with_dot:
+            dot_ref, scratch = rest
+        else:
+            (scratch,) = rest
         i = pl.program_id(0)
         scratch[HR:HR + CR, :] = main_ref[...]
 
@@ -380,8 +384,23 @@ def _dia_spmv_pallas_2d_impl(tdata, x, *, offsets, n_rows, H, C,
                               roll(a, LANE - r2), roll(b, LANE - r2))
             acc = acc + data_ref[d] * g
         o_ref[...] = acc
+        if with_dot:
+            # per-lane partial x·(Ax): the x chunk is already in VMEM, so
+            # the dot costs zero extra HBM traffic (a CG iteration saves a
+            # whole Ap read-back pass); reduced across sublanes here, across
+            # lanes+chunks by the (tiny) caller-side sum
+            dot_ref[0, 0, :] = jnp.sum(acc * scratch[HR:HR + CR, :], axis=0)
 
-    y = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((n_chunks * CR, LANE), jnp.float32)]
+    out_specs = [pl.BlockSpec((CR, LANE), lambda i: (i, 0))]
+    if with_dot:
+        # (n_chunks, 1, 128) so the per-step block's trailing dims equal the
+        # array dims — a (1, 128) block over (n_chunks, 128) violates the
+        # Mosaic (8, 128)-divisibility rule
+        out_shape.append(jax.ShapeDtypeStruct((n_chunks, 1, LANE),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, LANE), lambda i: (i, 0, 0)))
+    res = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
@@ -394,8 +413,8 @@ def _dia_spmv_pallas_2d_impl(tdata, x, *, offsets, n_rows, H, C,
             pl.BlockSpec((HR, LANE),
                          lambda i: (jnp.minimum((i + 1) * lob, hi_max), 0)),
         ],
-        out_specs=pl.BlockSpec((CR, LANE), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * CR, LANE), jnp.float32),
+        out_specs=out_specs if with_dot else out_specs[0],
+        out_shape=out_shape if with_dot else out_shape[0],
         scratch_shapes=[pltpu.VMEM((B, LANE), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -403,7 +422,35 @@ def _dia_spmv_pallas_2d_impl(tdata, x, *, offsets, n_rows, H, C,
             bytes_accessed=int(tdp.nbytes + xp.nbytes + n_pad * 4),
             transcendentals=0),
     )(tdp, xr, xr, xr)
-    return y.reshape(-1)[:n_rows]
+    if with_dot:
+        y, dots = res
+        return y.reshape(-1)[:n_rows], jnp.sum(dots)
+    return res.reshape(-1)[:n_rows]
+
+
+def dia_spmv_dot_pallas(dia: DIA, x: jax.Array, chunk: int = DEFAULT_CHUNK,
+                        interpret: bool = False):
+    """(A @ x, x·(A @ x)) fused in one kernel pass — the CG hot pair
+    (α = rᵀr / pᵀAp, src/linearsolver.rs:43-45): the dot reads the x chunk
+    already resident in VMEM instead of re-streaming Ap from HBM.
+    Returns None when the fused path doesn't apply (caller composes
+    spmv + vdot)."""
+    if dia.data.dtype != jnp.float32 or x.dtype != jnp.float32:
+        return None
+    if dia.tdata is None or dia.shape[0] != dia.shape[1]:
+        return None
+    n_d = int(dia.data.shape[0])
+    h = max((abs(o) for o in dia.offsets), default=0)
+    plan = _plan(n_d, h, int(dia.shape[0]), int(chunk))
+    if plan is None:
+        return None
+    H, C = plan
+    if -(-int(dia.shape[0]) // C) < 2:
+        return None  # latency regime — the fused chain/1-D path wins there
+    return _dia_spmv_pallas_2d_impl(
+        dia.tdata, x, offsets=tuple(dia.offsets),
+        n_rows=int(dia.shape[0]), H=H, C=C, with_dot=True,
+        interpret=interpret)
 
 
 def dia_spmv_pallas(dia: DIA, x: jax.Array, chunk: int = DEFAULT_CHUNK,

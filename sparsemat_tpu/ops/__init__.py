@@ -14,7 +14,7 @@ from .algebra import (
     sub,
     transpose,
 )
-from .matvec import rmatvec, spmm, spmv, spmv_chain
+from .matvec import rmatvec, spmm, spmv, spmv_chain, spmv_dot
 
 __all__ = [
     "DimensionError",
@@ -31,4 +31,5 @@ __all__ = [
     "spmm",
     "rmatvec",
     "spmv_chain",
+    "spmv_dot",
 ]

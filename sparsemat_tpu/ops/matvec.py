@@ -219,6 +219,25 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
     return _stream_spmv(coo.rows, coo.cols, coo.vals, coo.n_rows, x)
 
 
+def spmv_dot(mat, x):
+    """(A @ x, x·(A @ x)) — the CG inner pair (α = rᵀr / pᵀAp,
+    src/linearsolver.rs:43-45) with the bilinear form fused into the SpMV
+    kernel when the format supports it (DIA tdata on TPU: the dot reads
+    the x chunk already in VMEM, saving a full Ap re-stream per solver
+    iteration).  Falls back to spmv + vdot everywhere else."""
+    x = jnp.asarray(x)
+    _check_dims(mat, x, "spmv_dot")
+    if (isinstance(mat, DIA) and _pallas_ok()
+            and mat.data.dtype == jnp.float32 and x.dtype == jnp.float32):
+        from ..kernels.dia import dia_spmv_dot_pallas
+
+        res = dia_spmv_dot_pallas(mat, x)
+        if res is not None:
+            return res
+    y = spmv(mat, x)
+    return y, jnp.sum(x.astype(y.dtype) * y)
+
+
 def spmv_chain(mat, x, k: int) -> jax.Array:
     """x ← Aᵏ x — k chained SpMVs in one dispatch (square A).
 

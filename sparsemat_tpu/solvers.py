@@ -74,6 +74,22 @@ def _dot(a, b):
     return jnp.sum(a * b)  # sharded operands → XLA inserts the psum
 
 
+def _as_matvec_dot(A) -> Callable:
+    """v → (A·v, v·(A·v)) — CG's hot pair.  Fused into the SpMV kernel when
+    the operator supports it (ops.spmv_dot: the bilinear form then reads the
+    operand chunk already in VMEM instead of re-streaming A·v from HBM —
+    one full vector pass saved per CG iteration)."""
+    if callable(A) and not hasattr(A, "shape"):
+        def mvd(v):
+            y = A(v)
+            return y, _dot(v, y)
+
+        return mvd
+    from .ops import spmv_dot
+
+    return lambda v: spmv_dot(A, v)
+
+
 # --- Conjugate Gradient ------------------------------------------------------
 
 def cg(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
@@ -88,6 +104,7 @@ def cg(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
     """
     b = _check_operands(A, b)
     matvec = _as_matvec(A)
+    matvec_dot = _as_matvec_dot(A)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
     precond = M.apply if hasattr(M, "apply") else M
 
@@ -108,8 +125,7 @@ def cg(A, b, x0=None, *, tol: float = 1e-12, rtol: float = 0.0,
 
     def body(state):
         x, r, p, rz, rr, k, hist = state
-        Ap = matvec(p)
-        pAp = _dot(p, Ap)
+        Ap, pAp = matvec_dot(p)
         # guarded divisions: a breakdown (pAp = 0, e.g. singular/indefinite
         # operator) stalls instead of poisoning the state with NaN — the
         # loop then runs to maxiter and reports converged=False

@@ -68,3 +68,35 @@ def test_with_tiled_round_trip():
     np.testing.assert_allclose(
         np.asarray(s.tdata).reshape(s.tdata.shape[0], -1)[:, :1000],
         3.0 * np.asarray(dia.data), rtol=1e-6)
+
+
+def test_dia_spmv_dot_fused_matches_separate():
+    """with_dot=True returns (A x, x·(A x)) bit-comparable to the separate
+    formulation (the CG hot pair, src/linearsolver.rs:43-45)."""
+    n, offs, C = 5000, (-64, -1, 0, 1, 64), 4096
+    m = banded(n, offs)
+    dia = smt.CSR.from_scipy(m).to_dia()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    h = max(abs(o) for o in offs)
+    H = 1 << (max(h, 1024) - 1).bit_length()
+    y, d = _dia_spmv_pallas_2d_impl(
+        dia.tdata, jnp.asarray(x), offsets=tuple(dia.offsets), n_rows=n,
+        H=H, C=C, with_dot=True, interpret=True)
+    ref_y = m @ x
+    assert np.abs(np.asarray(y) - ref_y).max() / np.abs(ref_y).max() < 1e-5
+    ref_d = float(x @ ref_y)
+    assert abs(float(d) - ref_d) / max(abs(ref_d), 1e-30) < 1e-4
+
+
+def test_spmv_dot_dispatch_all_formats():
+    import sparsemat_tpu as smt2
+    m = banded(800, (-5, 0, 7), seed=4)
+    x = np.random.default_rng(5).standard_normal(800).astype(np.float32)
+    ref_y = m @ x
+    ref_d = float(x @ ref_y)
+    for mat in (smt2.CSR.from_scipy(m), smt2.CSR.from_scipy(m).to_dia(),
+                smt2.CSR.from_scipy(m).to_ell()):
+        y, d = smt2.spmv_dot(mat, jnp.asarray(x))
+        assert np.abs(np.asarray(y) - ref_y).max() / np.abs(ref_y).max() < 1e-5
+        assert abs(float(d) - ref_d) / abs(ref_d) < 1e-4
