@@ -1072,7 +1072,7 @@ def main():
     def config_fem_spmv():
         res_fem = bench_spmv_variants(
             "fem_217k", fem_state["scipy"], bw,
-            {"slab_stream": lambda c: c.to_slab_stream(),
+            {"strip": lambda c: c.to_strip(),
              "slab_pack": lambda c: c.to_slab_pack()})
         if res_fem:
             bestv = max(res_fem, key=lambda kk: res_fem[kk][0])

@@ -26,11 +26,12 @@ from .route import RouteStream
 from .sell import SELL
 from .gell import GELL
 from .slab import SlabELL, SlabPack, SlabStream
+from .strip import StripELL, StripPart
 from .well import WELL
 
 __all__ = ["SparseFormat", "BSR", "COO", "CSR", "DIA", "ELL", "GELL",
            "RouteStream", "RowVec", "SELL", "SlabELL", "SlabPack",
-           "SlabStream", "WELL", "auto_format"]
+           "SlabStream", "StripELL", "StripPart", "WELL", "auto_format"]
 
 
 def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
@@ -77,12 +78,31 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
         sell = SELL.from_csr(csr, slice_height=8)
         if sell.nse <= max_ell_waste * nnz:
             return sell
+    # bounded-span scattered rows: StripELL packs at height granularity 1
+    # (~2x less traffic than SlabPack's 8-sublane window buckets); its
+    # freeze raises ValueError when a 128-row block's span exceeds the
+    # x^T-tile reach, in which case SlabPack/RouteStream take over
+    try:
+        strip = StripELL.from_csr(csr)
+        if strip.nse <= max_slab_waste * nnz:
+            return strip
+    except ValueError:
+        pass
     slab = SlabPack.from_csr(csr)
     if (slab.x_bytes() <= 8 * 1024 * 1024
             and slab.nse <= max_slab_waste * nnz):
         return slab
     if on_tpu:
-        rs = RouteStream.from_csr(csr)
-        if rs.vmem_resident_bytes() <= 8 * 1024 * 1024:
-            return rs
+        # cheap pre-estimate BEFORE the host-CPU-bound freeze (r4 advisor:
+        # freezing first and discarding on the guard wasted the whole
+        # freeze).  Staging rows are bounded below by nnz/128 (each staging
+        # row holds ≤128 products), so if even that lower bound busts the
+        # VMEM guard the freeze cannot pass it either.
+        est_staging = (nnz // 128 + 128) * 128 * 4
+        x_b = (-(-csr.shape[1] // 128)) * 128 * 4
+        if est_staging + x_b <= 12 * 1024 * 1024:
+            rs = RouteStream.from_csr(csr)
+            if (rs.vmem_resident_bytes() <= 12 * 1024 * 1024
+                    and rs.smem_prefetch_bytes() <= 768 * 1024):
+                return rs
     return GELL.from_csr(csr)

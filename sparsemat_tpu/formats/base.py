@@ -88,6 +88,11 @@ class SparseFormat:
 
         return SELL.from_csr(self.to_csr(), slice_height=slice_height)
 
+    def to_strip(self, n_classes: int = 16):
+        from .strip import StripELL
+
+        return StripELL.from_csr(self.to_csr(), n_classes=n_classes)
+
     def to_dia(self):
         from .dia import DIA
 

@@ -537,11 +537,24 @@ class RouteStream(SparseFormat):
         return max(-(-self.shape[0] // LANE), 1)
 
     def vmem_resident_bytes(self, itemsize: int = 4) -> int:
-        """Kernel-1 staging + x, kernel-2 y residency (dispatch guard)."""
+        """Kernel-1 peak VMEM (dispatch guard): resident staging + x PLUS
+        the triple-buffered per-grid-step blocks — 4 routing tables + vals
+        + lidx of (n_splits, 128, 128)/(128, 128) each.  r4 counted only
+        staging + max(x, y), so a large-n_splits matrix could pass the
+        guard yet blow Mosaic's 16 MB scoped-VMEM limit at compile time
+        with no XLA fallback (r4 advisor)."""
         staging = (self.n_regions * REG_ROWS + SUP_ROWS) * LANE * itemsize
         x = self.x_windows() * LANE * itemsize
         y = (self.y_windows() + 1) * LANE * itemsize
-        return staging + max(x, y)
+        per_step = (4 * self.n_splits + 2) * SUP_ROWS * LANE * itemsize
+        scratch = (2 * SUP_ROWS + 8) * LANE * itemsize
+        return staging + max(x, y) + 3 * per_step + scratch
+
+    def smem_prefetch_bytes(self) -> int:
+        """Kernel-1 scalar-prefetch footprint (``touch`` + ``a_win``) —
+        checked against the ~1 MB SMEM budget in the spmv dispatch."""
+        return (self.n_sup * self.n_splits * SUP_ROWS * 4
+                + self.n_sup * SUP_ROWS * 4)
 
     def spmv_traffic_bytes(self) -> int:
         """Layout speed-of-light bytes: every kernel-read array once, the

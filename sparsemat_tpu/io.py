@@ -88,8 +88,15 @@ def load_mtx(path: str, *, dtype=np.float32, index_dtype=np.int32) -> CSR:
             rows, cols, vals, shape = parse_mtx_native(path, dtype)
             last_mtx_parser = "native"
             return _coo_to_csr(rows, cols, vals, shape, dtype, index_dtype)
-    except (ImportError, ValueError):
-        pass  # get_lib() already logged unavailability; exotics → numpy
+    except ImportError:
+        pass  # native toolchain unavailable → numpy
+    except ValueError as e:
+        # only an UNSUPPORTED variant (array layout etc., native code -2)
+        # falls back; an entry-count mismatch is file corruption the numpy
+        # reader would silently accept (r4 advisor — truncated files loaded
+        # as smaller matrices)
+        if "entries" in str(e):
+            raise
     last_mtx_parser = "numpy"
     return _load_mtx_numpy(path, dtype=dtype, index_dtype=index_dtype)
 

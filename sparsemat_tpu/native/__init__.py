@@ -148,7 +148,11 @@ def parse_mtx_native(path: str, dtype=np.float32):
         cols.ctypes.data_as(ctypes.c_void_p), np.dtype(idt).itemsize,
         vals.ctypes.data_as(ctypes.c_void_p), vdt.itemsize)
     if got < 0:
-        raise ValueError(f"{path}: native parse failed (code {got})")
+        reasons = {-1: "cannot open/map file", -2: "bad header",
+                   -3: "more entries than the header declares",
+                   -4: "truncated entry list (fewer entries than declared)"}
+        raise ValueError(f"{path}: native parse failed — "
+                         f"{reasons.get(int(got), f'code {got}')}")
     got = int(got)
     return (rows[:got], cols[:got],
             vals[:got] if vdt == np.dtype(dtype) else vals[:got].astype(dtype),

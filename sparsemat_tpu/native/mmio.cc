@@ -302,6 +302,10 @@ int64_t smt_mtx_parse_direct(const char* path, void* rows, void* cols,
   for (unsigned t = 0; t < nt; ++t) offs[t + 1] = offs[t] + counts[t];
   const size_t total_direct = offs[nt];
   if ((int64_t)total_direct > h.nnz) return -3;  // more entries than declared
+  // fewer whole lines than the header declares = a cleanly truncated file
+  // (partial write / disk-full); silently loading it as a smaller matrix
+  // hid real corruption (r4 advisor)
+  if ((int64_t)total_direct < h.nnz) return -4;
 
   OutSpec o{rows, cols, vals, idx_bytes, val_bytes};
   const bool expand = h.symmetric || h.skew;

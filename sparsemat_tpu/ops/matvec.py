@@ -161,13 +161,23 @@ def spmv(mat, x, *, method: str | None = None) -> jax.Array:
         return dia_spmv(dia, x)
     from ..formats.route import RouteStream
     from ..formats.slab import SlabELL, SlabPack, SlabStream
+    from ..formats.strip import StripELL
     from ..formats.well import WELL
 
+    if isinstance(mat, StripELL) or method == "strip":
+        from ..kernels.strip import strip_spmv_pallas, strip_spmv_xla
+
+        stm = mat if isinstance(mat, StripELL) else mat.to_strip()
+        c_max = max(p.vals.shape[1] for p in stm.parts)
+        if _pallas_ok() and c_max * 128 * 8 * 3 <= 12 * 1024 * 1024:
+            return strip_spmv_pallas(stm, x)
+        return strip_spmv_xla(stm, x)
     if isinstance(mat, RouteStream) or method == "route":
         from ..kernels.route import route_spmv_pallas, route_spmv_xla
 
         rs = mat if isinstance(mat, RouteStream) else mat.to_route()
-        if (_pallas_ok() and rs.vmem_resident_bytes() <= 8 * 1024 * 1024
+        if (_pallas_ok() and rs.vmem_resident_bytes() <= 12 * 1024 * 1024
+                and rs.smem_prefetch_bytes() <= 768 * 1024
                 and rs.a_vals.dtype == jnp.float32):
             return route_spmv_pallas(rs, x)
         return route_spmv_xla(rs, x)

@@ -133,7 +133,14 @@ class DenseVec:
 @dataclasses.dataclass
 class SparseVec:
     """Sparse vector: parallel (indices, values) in insertion order
-    (≈ src/sparsevec.rs:7-11).  Host-side."""
+    (≈ src/sparsevec.rs:7-11).  Host-side.
+
+    Deliberate divergence: the reference's dense by-value iterator
+    zero-fills between stored entries but STOPS after the last stored
+    entry rather than at ``dim`` (IterVal, src/sparsevec.rs:14-38) —
+    an artifact of its termination condition.  Here ``to_dense()`` is the
+    sane equivalent (zero-fills through ``dim``); the quirky early stop is
+    intentionally not reproduced."""
 
     indices: np.ndarray
     vals: np.ndarray

@@ -18,7 +18,7 @@ def random_csr(n=48, density=0.15, seed=0):
 
 @pytest.mark.parametrize("fmt", ["coo", "csr", "ell", "sell", "dia", "well",
                                  "gell", "slab", "slab_pack", "slab_stream",
-                                 "route"])
+                                 "route", "strip"])
 def test_matrix_roundtrip(fmt, tmp_path):
     """Round-trip EVERY frozen format, including the nested ones
     (SlabPack.parts / GELL.levels are tuples of format dataclasses)."""

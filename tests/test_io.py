@@ -88,3 +88,30 @@ def test_surrogate_generators_deterministic():
     d = matgen.circuit_scatter(n=2000, seed=4)
     assert (c != d).nnz == 0
     assert abs(a - a.T).max() == 0          # FEM surrogate is symmetric
+
+
+def test_load_mtx_rejects_truncated_file(tmp_path):
+    """A cleanly truncated entry list (partial write / disk-full) must
+    raise, not silently load as a smaller matrix (r4 advisor)."""
+    import scipy.sparse as sp
+
+    m = sp.random(50, 50, 0.1, format="csr", dtype=np.float32,
+                  random_state=np.random.default_rng(0))
+    p = str(tmp_path / "t.mtx")
+    smtio.save_mtx(smt.CSR.from_scipy(m), p)
+    lines = open(p).read().splitlines(keepends=True)
+    with open(p, "w") as fh:
+        fh.writelines(lines[: len(lines) // 2])
+    if smtio.last_mtx_parser != "native" and not _native_ok():
+        pytest.skip("native parser unavailable")
+    with pytest.raises(ValueError, match="truncated|entries"):
+        smtio.load_mtx(p, dtype=np.float32)
+
+
+def _native_ok():
+    try:
+        from sparsemat_tpu.native import mmio_available
+
+        return mmio_available()
+    except ImportError:
+        return False
