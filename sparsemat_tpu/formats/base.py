@@ -88,10 +88,12 @@ class SparseFormat:
 
         return SELL.from_csr(self.to_csr(), slice_height=slice_height)
 
-    def to_strip(self, n_classes: int = 16):
+    def to_strip(self, n_classes: int = 32, group: int = 16,
+                 lidx_pack: int = 4):
         from .strip import StripELL
 
-        return StripELL.from_csr(self.to_csr(), n_classes=n_classes)
+        return StripELL.from_csr(self.to_csr(), n_classes=n_classes,
+                                 group=group, lidx_pack=lidx_pack)
 
     def to_dia(self):
         from .dia import DIA

@@ -54,19 +54,32 @@ SUBLANE = 8
 @register_format
 @dataclasses.dataclass(frozen=True)
 class StripPart(SparseFormat):
-    """One homogeneous class of a StripELL: blocks sharing a c_total."""
+    """One homogeneous class of a StripELL: groups of ``g4`` CONSECUTIVE
+    blocks sharing one xᵀ tile per group and one class-wide c_total.
+
+    Grouping is the per-grid-step overhead lever (CLAUDE.md: ~300-500 ns
+    per step): a step processes a whole group against a single tile DMA.
+    Consecutive blocks of a banded/FEM matrix shift by ~1 window per
+    block, so a group's union span still fits one 128-window tile."""
 
     vals: jax.Array = array_field()    # (nb, c_total, 128) values
-    lidx: jax.Array = array_field()    # (nb, c_total, 128) col-in-window
-    #: (nb, cg, 128) window per strip, RELATIVE to the block's x^T tile
+    #: (nb, c_total // lidx_pack, 128) col-in-window indices, ``lidx_pack``
+    #: strips byte-packed per int32 word (strip s lives in byte s // (c/p)
+    #: of word row s %% (c/p)) — col-in-window is 7 bits, so packing cuts
+    #: the index stream 4x; the kernel unpacks with two vector ops per
+    #: chunk (shift + mask), far cheaper than the HBM bytes saved
+    lidx: jax.Array = array_field()
+    #: (nb, cg, 128) window per strip, RELATIVE to the GROUP's x^T tile
     #: (cg = ceil(c_total/128); tail padded with 0)
     wrel: jax.Array = array_field()
-    wtile: jax.Array = array_field()   # (nb,) x^T tile id per block
+    wtile: jax.Array = array_field()   # (nb // g4,) x^T tile id per group
     #: (nb, c_total, 128) bool stored-entry mask (distinguishes explicit
     #: zeros from strip padding; not read by the SpMV kernel)
     occ: jax.Array = array_field()
     block_ids: Tuple[int, ...] = static_field()  # original block index per row
     shape: Tuple[int, int] = static_field()
+    g4: int = static_field(default=1)  # blocks per group (grid step)
+    lidx_pack: int = static_field(default=1)  # strips per lidx word
 
     @property
     def c_total(self) -> int:
@@ -91,11 +104,21 @@ class StripPart(SparseFormat):
         return dataclasses.replace(
             self, vals=self.vals * jnp.asarray(scalar, self.vals.dtype))
 
+    def lidx_unpacked(self) -> jax.Array:
+        """(nb, c_total, 128) int32 col-in-window (unpacks ``lidx``)."""
+        if self.lidx_pack == 1:
+            return self.lidx.astype(jnp.int32)
+        cp = self.lidx.shape[1]
+        parts = [(self.lidx >> (8 * k)) & 0xFF
+                 for k in range(self.lidx_pack)]
+        return jnp.concatenate(parts, axis=1)[:, : self.c_total]
+
     def abs_windows(self) -> jax.Array:
         """(nb, c_total) absolute window id per strip."""
         nb, c, _ = self.vals.shape
         wr = self.wrel.reshape(nb, -1)[:, :c].astype(jnp.int32)
-        return self.wtile[:, None].astype(jnp.int32) * TILE_STRIDE + wr
+        wt_blk = jnp.repeat(self.wtile.astype(jnp.int32), self.g4)[:nb]
+        return wt_blk[:, None] * TILE_STRIDE + wr
 
     def to_coo(self):
         from .coo import COO
@@ -103,7 +126,7 @@ class StripPart(SparseFormat):
         nb, c, rb = self.vals.shape
         n_rows = self.shape[0]
         cols = (self.abs_windows()[:, :, None] * WINDOW
-                + self.lidx.astype(jnp.int32))
+                + self.lidx_unpacked())
         rows = (jnp.asarray(np.asarray(self.block_ids, np.int64)
                             .astype(np.int32))[:, None, None] * RB
                 + jnp.arange(rb, dtype=jnp.int32)[None, None, :])
@@ -127,13 +150,24 @@ class StripELL(SparseFormat):
     shape: Tuple[int, int] = static_field()
 
     @classmethod
-    def from_csr(cls, csr, n_classes: int = 16) -> "StripELL":
+    def from_csr(cls, csr, n_classes: int = 32,
+                 group: int = 16, lidx_pack: int = 4) -> "StripELL":
+        """``group`` consecutive blocks share one xᵀ tile and one grid
+        step (per-step overhead amortized; consecutive blocks of a banded
+        operand shift ~1 window/block so the union span still fits a
+        tile).  Classes are histograms over GROUPS, keyed by the group's
+        max per-block strip count.  ``lidx_pack`` strips share each lidx
+        int32 word (7-bit col-in-window → byte-packed, 4× less index
+        traffic)."""
         n_rows, n_cols = csr.shape
         indptr = csr.host("indptr").astype(np.int64)
         indices = csr.host("indices").astype(np.int64)
         data = csr.host("data")
         nnz = int(indptr[-1])
         n_rb = max(-(-n_rows // RB), 1)
+        group = int(np.clip(group, 1, n_rb))
+        n_grp = -(-n_rb // group)
+        n_rbp = n_grp * group             # blocks incl. trailing group pad
         if nnz == 0:
             part = _empty_part((n_rows, n_cols), tuple(range(n_rb)),
                                data.dtype)
@@ -148,30 +182,31 @@ class StripELL(SparseFormat):
         win = cols // WINDOW
         n_win = max(-(-n_cols // WINDOW), 1)
 
-        # per-block x^T tile base; every window of the block must fit the
+        # per-GROUP x^T tile base; every window of the group must fit the
         # 128-window tile starting at TILE_STRIDE * wtile
-        wmin = np.full(n_rb, np.iinfo(np.int64).max)
-        wmax = np.full(n_rb, -1, np.int64)
-        np.minimum.at(wmin, blk, win)
-        np.maximum.at(wmax, blk, win)
+        egrp = blk // group
+        wmin = np.full(n_grp, np.iinfo(np.int64).max)
+        wmax = np.full(n_grp, -1, np.int64)
+        np.minimum.at(wmin, egrp, win)
+        np.maximum.at(wmax, egrp, win)
         has = wmax >= 0
         wmin[~has] = 0
         wmax[~has] = 0
         # clamp to the LAST tile build_xt_tiles actually materializes —
-        # tiles overlap (stride 32, width 128), so high-wmin blocks are
+        # tiles overlap (stride 32, width 128), so high-wmin groups are
         # covered by the final tile; an unclamped wmin//stride would index
         # past the tile array (out-of-range BlockSpec = silent garbage or
         # a FailedPrecondition fault, both observed on-chip)
         n_tiles = max(-(-max(n_win - (WINDOW - TILE_STRIDE), 0)
                         // TILE_STRIDE), 0) + 1
-        wtile = np.minimum(wmin // TILE_STRIDE, n_tiles - 1)
-        span = wmax - wtile * TILE_STRIDE
+        wtile_g = np.minimum(wmin // TILE_STRIDE, n_tiles - 1)
+        span = wmax - wtile_g * TILE_STRIDE
         if int(span.max(initial=0)) >= 128:
             raise ValueError(
-                "StripELL needs every 128-row block's column span within "
-                f"{128 * WINDOW - (WINDOW - 1) * 0} cols of a 128-window "
-                f"tile (max relative window {int(span.max())} >= 128) — "
-                "use SlabPack/RouteStream for wide-scatter matrices")
+                f"StripELL needs every {group}-block group's column span "
+                f"within one 128-window tile (max relative window "
+                f"{int(span.max())} >= 128) — use SlabPack/RouteStream "
+                "for wide-scatter matrices, or a smaller ``group``")
 
         # level = rank of the entry within its (blk, win, lane) group,
         # in column order (CSR is column-sorted per row already)
@@ -194,29 +229,36 @@ class StripELL(SparseFormat):
         s_first = np.searchsorted(s_blk, np.arange(n_rb))
         strip_in_blk = np.arange(uniq.size) - s_first[s_blk]
         n_strips = np.bincount(s_blk.astype(np.int64),
-                               minlength=n_rb).astype(np.int64)
+                               minlength=n_rbp).astype(np.int64)
         if int(level.max(initial=0)) > 63:
             raise ValueError("StripELL: >64 entries in one (row, window)")
 
-        # class split by strip count
-        n_classes = int(np.clip(n_classes, 1, n_rb))
-        order_b = np.argsort(n_strips, kind="stable")
-        chunks = [np.sort(ch) for ch in np.array_split(order_b, n_classes)
+        # class split over GROUPS by the group's max per-block strip count
+        strips_g = n_strips.reshape(n_grp, group).max(axis=1)
+        n_classes = int(np.clip(n_classes, 1, n_grp))
+        order_g = np.argsort(strips_g, kind="stable")
+        chunks = [np.sort(ch) for ch in np.array_split(order_g, n_classes)
                   if ch.size]
         parts = []
-        pos_of_blk = np.zeros(n_rb, np.int64)
-        cls_of_blk = np.zeros(n_rb, np.int64)
+        pos_of_blk = np.zeros(n_rbp, np.int64)
+        cls_of_blk = np.zeros(n_rbp, np.int64)
         for ci, ch in enumerate(chunks):
-            pos_of_blk[ch] = np.arange(ch.size)
-            cls_of_blk[ch] = ci
+            blocks = (ch[:, None] * group + np.arange(group)).ravel()
+            pos_of_blk[blocks] = np.arange(blocks.size)
+            cls_of_blk[blocks] = ci
 
         ent_cls = cls_of_blk[sb]
         ent_pos = pos_of_blk[sb]
+        lidx_pack = int(lidx_pack)
+        if lidx_pack not in (1, 2, 4):
+            raise ValueError("lidx_pack must be 1, 2 or 4")
+        quant = SUBLANE * lidx_pack
         for ci, ch in enumerate(chunks):
-            c_total = int(-(-max(int(n_strips[ch].max(initial=0)), 1)
-                            // SUBLANE) * SUBLANE)
+            blocks = (ch[:, None] * group + np.arange(group)).ravel()
+            c_total = int(-(-max(int(strips_g[ch].max(initial=0)), 1)
+                            // quant) * quant)
             cg = -(-c_total // WINDOW)
-            nb = ch.size
+            nb = blocks.size
             vals_t = np.zeros((nb, c_total, RB), data.dtype)
             lidx_t = np.zeros((nb, c_total, RB), np.int32)
             occ_t = np.zeros((nb, c_total, RB), bool)
@@ -229,20 +271,28 @@ class StripELL(SparseFormat):
             vals_t[epos, spos, elane] = vals[so]
             lidx_t[epos, spos, elane] = (cols[so] % WINDOW).astype(np.int32)
             occ_t[epos, spos, elane] = True
-            # per-strip relative window
+            # per-strip relative window (vs the strip's GROUP tile)
             ssel = (cls_of_blk[s_blk] == ci)
             sp = strip_in_blk[ssel]
             sbp = pos_of_blk[s_blk[ssel]]
             wrel_t[sbp, sp] = ((uniq[ssel] // 64) % n_win
-                               - wtile[s_blk[ssel]] * TILE_STRIDE
+                               - wtile_g[s_blk[ssel] // group] * TILE_STRIDE
                                ).astype(np.int32)
+            if lidx_pack > 1:
+                cp = c_total // lidx_pack
+                packed = lidx_t[:, 0:cp].copy()
+                for k in range(1, lidx_pack):
+                    packed |= lidx_t[:, k * cp:(k + 1) * cp] << (8 * k)
+                lidx_out = packed
+            else:
+                lidx_out = lidx_t
             parts.append(StripPart(
-                vals=jnp.asarray(vals_t), lidx=jnp.asarray(lidx_t),
+                vals=jnp.asarray(vals_t), lidx=jnp.asarray(lidx_out),
                 wrel=jnp.asarray(wrel_t.reshape(nb, cg, WINDOW)),
-                wtile=jnp.asarray(wtile[ch].astype(np.int32)),
+                wtile=jnp.asarray(wtile_g[ch].astype(np.int32)),
                 occ=jnp.asarray(occ_t),
-                block_ids=tuple(int(b) for b in ch),
-                shape=(n_rows, n_cols)))
+                block_ids=tuple(int(b) for b in blocks),
+                shape=(n_rows, n_cols), g4=group, lidx_pack=lidx_pack))
         return cls(parts=tuple(parts), shape=(n_rows, n_cols))
 
     # -- canonical views ------------------------------------------------------

@@ -32,10 +32,10 @@ from ..types import accum_dtype
 _MAX_BLOCKS_PER_CALL = 60_000
 
 
-#: sweep gather chunk: strips per ``take_along`` — measured on-chip, 32
-#: beats 8 by ~13% (per-gather issue overhead ~6-8 ns amortizes over 4
-#: native (8,128) units) and beats full-c_total by 2× (register pressure)
-_SWEEP_CHUNK = 32
+#: sweep gather chunk: packed-index word rows per ``take_along`` batch —
+#: measured on-chip: 64 ≥ 32 > 16 ≫ full-c_total (per-gather issue
+#: overhead ~6-8 ns amortizes; full-width spills registers)
+_SWEEP_CHUNK = 64
 
 
 def strip_part_spmv_pallas(part: StripPart, xt: jax.Array, *,
@@ -53,45 +53,58 @@ def strip_part_spmv_pallas(part: StripPart, xt: jax.Array, *,
 
     nb, c_total, rb = part.vals.shape
     cg = part.wrel.shape[1]
+    g4 = part.g4
+    pack = part.lidx_pack
+    cp_total = part.lidx.shape[1]
     adt = accum_dtype(jnp.result_type(part.vals.dtype, xt.dtype))
     vals = part.vals.astype(adt)
     xt = xt.astype(adt)
 
     def kernel(wt_ref, vals_ref, lidx_ref, wrel_ref, xt_ref, o_ref, xb):
-        # 1. assembly: xb[s, r] = x[(tile_base + wrel[s]) * 128 + r] — ONE
-        # (128,128) lane-gather + transpose per 128 strips (the only
-        # vectorized cross-window selection TPU supports)
-        for g in range(cg):
-            wr = wrel_ref[0, g, :]
-            idx = jnp.broadcast_to(wr[None, :], (WINDOW, WINDOW))
-            rows = jnp.take_along_axis(xt_ref[0], idx, axis=1)  # (lane, s)
-            xb[g * WINDOW:(g + 1) * WINDOW, :] = rows.T         # (s, lane)
-        # 2. strip sweep
-        acc = jnp.zeros((SUBLANE, RB), adt)
-        for o in range(0, c_total, _SWEEP_CHUNK):
-            h = min(_SWEEP_CHUNK, c_total - o)
-            gg = jnp.take_along_axis(xb[o:o + h, :],
-                                     lidx_ref[0, o:o + h, :], axis=1)
-            prod = vals_ref[0, o:o + h, :] * gg
-            acc = acc + prod.reshape(h // SUBLANE, SUBLANE, RB).sum(axis=0)
-        o_ref[0, 0, :] = jnp.sum(acc, axis=0)
+        for k in range(g4):
+            # 1. assembly: xb[s, r] = x[(tile_base + wrel[s]) * 128 + r] —
+            # ONE (128,128) lane-gather + transpose per 128 strips (the
+            # only vectorized cross-window selection TPU supports); the
+            # whole group shares this step's x^T tile
+            for g in range(cg):
+                wr = wrel_ref[k, g, :]
+                idx = jnp.broadcast_to(wr[None, :], (WINDOW, WINDOW))
+                rows = jnp.take_along_axis(xt_ref[0], idx, axis=1)
+                xb[g * WINDOW:(g + 1) * WINDOW, :] = rows.T     # (s, lane)
+            # 2. strip sweep (``lidx_pack`` strips per index word: one
+            # shift+mask pair unpacks each byte lane — the packed word row
+            # o serves strips {j·cp + o})
+            acc = jnp.zeros((SUBLANE, RB), adt)
+            cp = c_total // pack
+            for o in range(0, cp, _SWEEP_CHUNK):
+                h = min(_SWEEP_CHUNK, cp - o)
+                w = lidx_ref[k, o:o + h, :]
+                for j in range(pack):
+                    lij = (w >> (8 * j)) & 0xFF if pack > 1 else w
+                    s0 = j * cp + o
+                    gg = jnp.take_along_axis(xb[s0:s0 + h, :], lij, axis=1)
+                    prod = vals_ref[k, s0:s0 + h, :] * gg
+                    acc = acc + prod.reshape(h // SUBLANE, SUBLANE,
+                                             RB).sum(axis=0)
+            o_ref[k, 0, :] = jnp.sum(acc, axis=0)
 
     outs = []
-    for cs in range(0, nb, _MAX_BLOCKS_PER_CALL):
-        ce = min(cs + _MAX_BLOCKS_PER_CALL, nb)
+    cap = max((_MAX_BLOCKS_PER_CALL // g4) * g4, g4)
+    for cs in range(0, nb, cap):
+        ce = min(cs + cap, nb)
         nbc = ce - cs
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nbc,),
+            grid=(nbc // g4,),
             in_specs=[
-                pl.BlockSpec((1, c_total, rb), lambda i, wt: (i, 0, 0)),
-                pl.BlockSpec((1, c_total, rb), lambda i, wt: (i, 0, 0)),
-                pl.BlockSpec((1, cg, WINDOW), lambda i, wt: (i, 0, 0)),
-                # consecutive blocks usually share a tile → Pallas skips the
-                # re-DMA when the index map value repeats
+                pl.BlockSpec((g4, c_total, rb), lambda i, wt: (i, 0, 0)),
+                pl.BlockSpec((g4, cp_total, rb), lambda i, wt: (i, 0, 0)),
+                pl.BlockSpec((g4, cg, WINDOW), lambda i, wt: (i, 0, 0)),
+                # consecutive groups usually share a tile → Pallas skips
+                # the re-DMA when the index map value repeats
                 pl.BlockSpec((1, WINDOW, WINDOW), lambda i, wt: (wt[i], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, rb), lambda i, wt: (i, 0, 0)),
+            out_specs=pl.BlockSpec((g4, 1, rb), lambda i, wt: (i, 0, 0)),
             scratch_shapes=[pltpu.VMEM((cg * WINDOW, RB), adt)],
         )
         y = pl.pallas_call(
@@ -101,11 +114,11 @@ def strip_part_spmv_pallas(part: StripPart, xt: jax.Array, *,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * nbc * c_total * rb,
-                bytes_accessed=int(nbc * c_total * rb * 8
+                bytes_accessed=int(nbc * (c_total + cp_total) * rb * 4
                                    + nbc * cg * WINDOW * 4
                                    + nbc * rb * 4),
                 transcendentals=0),
-        )(part.wtile[cs:ce], vals[cs:ce], part.lidx[cs:ce],
+        )(part.wtile[cs // g4:ce // g4], vals[cs:ce], part.lidx[cs:ce],
           part.wrel[cs:ce], xt)
         outs.append(y.reshape(nbc, rb))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
@@ -134,7 +147,7 @@ def strip_spmv_xla(st: StripELL, x: jax.Array) -> jax.Array:
     ys = []
     for p in st.parts:
         cols = (p.abs_windows()[:, :, None] * WINDOW
-                + p.lidx.astype(jnp.int32))
+                + p.lidx_unpacked())
         xg = x.astype(adt).at[cols].get(mode="fill", fill_value=0)
         ys.append(jnp.sum(p.vals.astype(adt) * xg, axis=1))   # (nb, 128)
     return _combine(st, ys)
