@@ -101,7 +101,15 @@ def route_spmv_xla(rs: RouteStream, x: jax.Array) -> jax.Array:
 
 def route_gather_pallas(rs: RouteStream, x: jax.Array, *,
                         interpret: bool = False) -> jax.Array:
-    """Kernel 1: products + static routing into staging (returned)."""
+    """Kernel 1: products + static routing into staging (returned).
+
+    Known headroom (r5 profile, scircuit): the per-row ``store_row``
+    RMW fori_loop costs ~16k dynamic (1,128) read-add-writes per SpMV —
+    the majority of the 472 µs wall.  A freeze-level re-layout that gives
+    each (supertile, split) an exclusive, consecutive 128-row staging
+    range would turn it into one static block store (and push the
+    accumulation into kernel 2's region reduce); left for a future round.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
