@@ -107,3 +107,38 @@ def test_bsr_rejects_misaligned_blocks():
     csr, _ = random_csr(16, 128, 0.4, seed=13)
     with pytest.raises(ValueError):
         BSR.from_csr(csr, br=7, bc=100)
+
+
+def test_from_csr_device_matches_host_freeze():
+    """Device-side freeze (one scatter) must agree with the host freeze
+    for every block size, including empty block rows and big br."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    dense = np.zeros((300, 520), np.float32)
+    mask = rng.random(dense.shape) < 0.03
+    dense[mask] = rng.standard_normal(int(mask.sum())).astype(np.float32)
+    dense[40:120] = 0.0  # empty block rows in the middle
+    csr = smt.CSR.from_scipy(sp.csr_matrix(dense))
+    B = jnp.asarray(rng.standard_normal((520, 17)).astype(np.float32))
+    ref = dense @ np.asarray(B)
+    for br in (8, 64, 256):
+        b_host = smt.BSR.from_csr(csr, br=br, bc=128)
+        b_dev = smt.BSR.from_csr_device(csr, br=br, bc=128)
+        assert b_dev.chunks is not None
+        np.testing.assert_array_equal(np.asarray(b_host.block_rows),
+                                      np.asarray(b_dev.block_rows))
+        Yh = np.asarray(bsr_spmm_pallas(b_host, B, interpret=True))
+        Yd = np.asarray(bsr_spmm_pallas(b_dev, B, interpret=True))
+        nrm = max(np.abs(ref).max(), 1e-30)
+        assert np.abs(Yh - ref).max() / nrm < 1e-5
+        assert np.abs(Yd - ref).max() / nrm < 1e-5
+
+
+def test_from_csr_device_empty_matrix():
+    import scipy.sparse as sp
+
+    csr = smt.CSR.from_scipy(sp.csr_matrix((64, 64), dtype=np.float32))
+    b = smt.BSR.from_csr_device(csr)
+    B = jnp.ones((64, 8), jnp.float32)
+    assert np.abs(np.asarray(bsr_spmm_pallas(b, B, interpret=True))).max() == 0

@@ -90,3 +90,42 @@ def test_strip_traffic_well_below_slab_pack():
     strip_b = csr.to_strip().spmv_traffic_bytes()
     slab_b = csr.to_slab_pack().spmv_traffic_bytes()
     assert strip_b < 0.75 * slab_b, (strip_b, slab_b)
+
+
+def test_auto_format_prefers_strip_for_bounded_span():
+    from sparsemat_tpu.formats import auto_format
+
+    # skewed rows (spread within the band, so the per-(row, window) count
+    # stays below StripELL's 64 limit) make the ELL/SELL padding guards
+    # reject (on CPU the SELL branch otherwise wins; on TPU it is skipped)
+    m = banded_random(2000, 800, 0.01, 9).tolil()
+    rng = np.random.default_rng(13)
+    for r in range(0, 2000, 8):
+        cols = rng.choice(np.arange(max(r - 800, 0), min(r + 800, 2000)),
+                          size=200, replace=False)
+        m[r, cols] = 0.5
+    m = m.tocsr()
+    # max_ell_waste below 1 disqualifies even a perfect ELL/SELL packing,
+    # mimicking the TPU branch ordering (where SELL is skipped outright)
+    mat = auto_format(smt.CSR.from_scipy(m), max_ell_waste=0.9)
+    assert type(mat).__name__ == "StripELL"
+    x = np.random.default_rng(0).standard_normal(2000).astype(np.float32)
+    ref = m @ x
+    y = np.asarray(smt.spmv(mat, jnp.asarray(x)))
+    assert np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30) < 1e-5
+
+
+def test_strip_ops_through_canonical_views():
+    """add/transpose/spgemm reach StripELL through to_coo/to_csr."""
+    m = banded_random(600, 200, 0.02, 12)
+    st = smt.CSR.from_scipy(m).to_strip()
+    t = st.T.to_csr()
+    ref_t = m.T.tocsr()
+    import scipy.sparse as sp
+    back = sp.csr_matrix((np.asarray(t.data), np.asarray(t.indices),
+                          np.asarray(t.host("indptr"))), shape=m.T.shape)
+    assert np.abs((back - ref_t)).max() < 1e-6
+    s2 = (st + smt.CSR.from_scipy(m)).to_csr()
+    back2 = sp.csr_matrix((np.asarray(s2.data), np.asarray(s2.indices),
+                           np.asarray(s2.host("indptr"))), shape=m.shape)
+    assert np.abs((back2 - 2 * m)).max() < 1e-6
