@@ -88,10 +88,27 @@ def auto_format(mat, *, max_diags: int = 48, max_ell_waste: float = 2.0,
             return strip
     except ValueError:
         pass
-    slab = SlabPack.from_csr(csr)
-    if (slab.x_bytes() <= 8 * 1024 * 1024
-            and slab.nse <= max_slab_waste * nnz):
-        return slab
+    # cheap lower bound on SlabPack's padded slots BEFORE the freeze: each
+    # distinct (row-block, column-window) bucket costs >= SUBLANE slots x
+    # row_block lanes.  Without this guard a global-scatter operand builds
+    # the full layout just to fail the waste test afterwards — measured on
+    # the scircuit surrogate: a 1.8e9-slot, 13 GB, 52 s freeze.
+    import numpy as _np
+
+    from .slab import SLAB_ROW_BLOCK, SUBLANE
+
+    _indptr = csr.host("indptr").astype(_np.int64)
+    _rows = _np.repeat(_np.arange(csr.shape[0], dtype=_np.int64),
+                       _np.diff(_indptr))
+    _wins = csr.host("indices").astype(_np.int64) // 128
+    _nwin = max(-(-csr.shape[1] // 128), 1)
+    _pairs = _np.unique((_rows // SLAB_ROW_BLOCK) * _nwin + _wins).size
+    slab_lb = _pairs * SUBLANE * SLAB_ROW_BLOCK
+    if slab_lb <= max_slab_waste * nnz:
+        slab = SlabPack.from_csr(csr)
+        if (slab.x_bytes() <= 8 * 1024 * 1024
+                and slab.nse <= max_slab_waste * nnz):
+            return slab
     if on_tpu:
         # cheap pre-estimate BEFORE the host-CPU-bound freeze (r4 advisor:
         # freezing first and discarding on the guard wasted the whole

@@ -180,3 +180,23 @@ def test_slab_stream_roundtrip_and_counts():
         np.testing.assert_allclose(y, ref, atol=1e-4 * np.abs(ref).max())
     finally:
         ks._STREAM_MAX_CHUNKS_PER_CALL = old
+
+
+def test_auto_format_global_scatter_skips_slab_freeze(monkeypatch):
+    """auto_format must reject SlabPack for global-scatter operands from
+    CSR stats alone — the unguarded freeze built a 1.8e9-slot, 13 GB
+    layout on the scircuit surrogate before the waste test could run."""
+    import sparsemat_tpu.formats as fmts
+    from sparsemat_tpu.formats.slab import SlabPack
+
+    def boom(*a, **k):
+        raise AssertionError("SlabPack.from_csr called despite the "
+                             "cheap pre-guard")
+
+    monkeypatch.setattr(SlabPack, "from_csr", boom)
+    rng = np.random.default_rng(0)
+    m = sp.random(4000, 60000, 0.0005, format="csr", dtype=np.float32,
+                  random_state=rng)  # uniform WIDE scatter (span > x^T reach)
+    # max_ell_waste below 1 pushes past the ELL/SELL branches on CPU
+    out = fmts.auto_format(smt.CSR.from_scipy(m), max_ell_waste=0.5)
+    assert type(out).__name__ in ("GELL", "RouteStream")
