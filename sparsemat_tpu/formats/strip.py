@@ -108,7 +108,6 @@ class StripPart(SparseFormat):
         """(nb, c_total, 128) int32 col-in-window (unpacks ``lidx``)."""
         if self.lidx_pack == 1:
             return self.lidx.astype(jnp.int32)
-        cp = self.lidx.shape[1]
         parts = [(self.lidx >> (8 * k)) & 0xFF
                  for k in range(self.lidx_pack)]
         return jnp.concatenate(parts, axis=1)[:, : self.c_total]

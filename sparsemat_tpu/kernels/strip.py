@@ -1,6 +1,7 @@
 """StripELL SpMV kernel — strip-packed window gather (see formats/strip.py).
 
-Per grid step (one 128-row block of one class part):
+Per grid step (one group of ``g4`` consecutive 128-row blocks of one class
+part, sharing a single xᵀ tile DMA), per block:
 
 1. **x assembly** — the step's xᵀ tile (128 lanes × 128 windows, DMA'd by
    BlockSpec off the scalar-prefetched ``wtile``) is turned into per-strip
@@ -42,7 +43,7 @@ def strip_part_spmv_pallas(part: StripPart, xt: jax.Array, *,
                            interpret: bool = False) -> jax.Array:
     """(nb, 128) block results for one class part (xt from build_xt_tiles).
 
-    One grid step per block.  Measured r5 on the fem surrogate: the kernel
+    One grid step per g4-block group.  Measured r5 on the fem surrogate: the kernel
     is GATHER-THROUGHPUT-bound (~8 ns per native (8,128) take_along unit —
     a variant with gathers removed streams the same arrays at 807 GB/s vs
     ~300 effective with them), so the tuning levers are op-count ones:
