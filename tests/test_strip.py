@@ -129,3 +129,16 @@ def test_strip_ops_through_canonical_views():
     back2 = sp.csr_matrix((np.asarray(s2.data), np.asarray(s2.indices),
                            np.asarray(s2.host("indptr"))), shape=m.shape)
     assert np.abs((back2 - 2 * m)).max() < 1e-6
+
+
+@pytest.mark.parametrize("shape,density", [((5000, 900), 0.01),
+                                           ((300, 9000), 0.02)])
+def test_strip_rectangular_bounded_span(shape, density):
+    rng = np.random.default_rng(4)
+    m = sp.random(*shape, density=density, format="csr", dtype=np.float32,
+                  random_state=rng)
+    st = smt.CSR.from_scipy(m).to_strip()
+    x = rng.standard_normal(shape[1]).astype(np.float32)
+    ref = m @ x
+    y = np.asarray(smt.spmv(st, jnp.asarray(x)))
+    assert np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30) < 1e-5
